@@ -1,0 +1,151 @@
+"""Op-level parity tests against scipy / torch CPU references.
+
+These pin the numerical contracts of the TPU primitives to the library
+behaviors the reference pipeline relies on (conv/LSTM/interpolate semantics,
+wrap filtering), without importing any reference code.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from horizonnet_tpu.ops import (
+    wrap_pad_width,
+    bilinear_wrap_sample,
+    circular_max_filter_1d,
+    find_peaks_np,
+    find_peaks_device,
+    resize_width_bilinear,
+    wrap_resize_width,
+    bilstm,
+    lstm_params_init,
+    torch_lstm_state_to_params,
+)
+
+
+def test_wrap_pad_width():
+    x = jnp.arange(12.0).reshape(1, 3, 4)
+    y = wrap_pad_width(x, 1)
+    assert y.shape == (1, 3, 6)
+    np.testing.assert_array_equal(np.array(y[0, 0]), [3, 0, 1, 2, 3, 0])
+
+
+def test_bilinear_wrap_sample_vs_scipy_gridwrap():
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(32, 64)).astype(np.float32)
+    ys = rng.uniform(-5, 40, size=(20, 30))
+    xs = rng.uniform(-5, 70, size=(20, 30))
+    ref = scipy_nd.map_coordinates(img, [ys, xs], order=1, mode='grid-wrap')
+    got = np.array(bilinear_wrap_sample(jnp.asarray(img), jnp.asarray(ys), jnp.asarray(xs)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_wrap_sample_multichannel():
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(16, 16, 3)).astype(np.float32)
+    ys = rng.uniform(0, 15, size=(8,))
+    xs = rng.uniform(0, 15, size=(8,))
+    got = np.array(bilinear_wrap_sample(jnp.asarray(img), jnp.asarray(ys), jnp.asarray(xs)))
+    for c in range(3):
+        single = np.array(bilinear_wrap_sample(jnp.asarray(img[..., c]),
+                                               jnp.asarray(ys), jnp.asarray(xs)))
+        np.testing.assert_allclose(got[..., c], single, rtol=1e-6)
+
+
+def test_circular_max_filter_vs_scipy():
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    rng = np.random.default_rng(2)
+    sig = rng.normal(size=256).astype(np.float32)
+    for size in (5, 26, 29):
+        ref = scipy_nd.maximum_filter(sig, size=size, mode='wrap')
+        got = np.array(circular_max_filter_1d(jnp.asarray(sig), size))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_find_peaks_np_matches_reference_semantics():
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    rng = np.random.default_rng(3)
+    sig = np.zeros(1024, np.float32)
+    # Plant peaks
+    for loc, v in [(10, 0.9), (300, 0.8), (600, 0.7), (900, 0.6), (50, 0.04)]:
+        sig[loc] = v
+    sig += rng.uniform(0, 0.01, 1024).astype(np.float32)
+
+    # Reference algorithm, written with scipy directly
+    max_v = scipy_nd.maximum_filter(sig, size=26, mode='wrap')
+    ref_loc = np.where(max_v == sig)[0]
+    ref_loc = ref_loc[sig[ref_loc] > 0.05]
+    got_loc, got_val = find_peaks_np(sig, r=26, min_v=0.05)
+    np.testing.assert_array_equal(got_loc, ref_loc)
+
+    # Top-N selection
+    got4, _ = find_peaks_np(sig, r=26, min_v=0.05, N=4)
+    assert set(got4) == {10, 300, 600, 900}
+    assert np.all(np.diff(got4) > 0)
+
+
+def test_find_peaks_device_matches_host():
+    rng = np.random.default_rng(4)
+    sig = rng.uniform(0, 1, 1024).astype(np.float32) * 0.04
+    for loc, v in [(17, 0.95), (400, 0.85), (890, 0.75)]:
+        sig[loc] = v
+    h_loc, h_val = find_peaks_np(sig, r=26, min_v=0.05)
+    d_loc, d_val, valid = jax.jit(
+        lambda s: find_peaks_device(s, r=26, min_v=0.05, max_peaks=8))(jnp.asarray(sig))
+    d_loc = np.array(d_loc)[np.array(valid)]
+    np.testing.assert_array_equal(d_loc, h_loc)
+
+
+def test_resize_width_matches_torch_interpolate():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 8, 4, 34)).astype(np.float32)
+    out = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(4, 260), mode='bilinear', align_corners=False)
+    got = np.array(resize_width_bilinear(jnp.asarray(x), 260))
+    np.testing.assert_allclose(got, out.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_wrap_resize_width_matches_torch_pattern():
+    """Reproduce GlobalHeightConv's pad+resize+trim (model.py:151-156)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    rng = np.random.default_rng(6)
+    for w, out_w in [(256, 256), (128, 256), (64, 256), (32, 256)]:
+        x = rng.normal(size=(2, 4, 3, w)).astype(np.float32)
+        t = torch.from_numpy(x)
+        factor = out_w // w
+        t = torch.cat([t[..., -1:], t, t[..., :1]], 3)
+        t = F.interpolate(t, size=(3, out_w + 2 * factor), mode='bilinear',
+                          align_corners=False)
+        ref = t[..., factor:-factor].numpy()
+        got = np.array(wrap_resize_width(jnp.asarray(x), out_w))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_layers,bidirectional", [(1, True), (2, True), (2, False)])
+def test_bilstm_matches_torch(num_layers, bidirectional):
+    torch = pytest.importorskip("torch")
+    T, B, I, H = 16, 3, 12, 20
+    tl = torch.nn.LSTM(input_size=I, hidden_size=H, num_layers=num_layers,
+                       bidirectional=bidirectional, batch_first=False)
+    x = torch.randn(T, B, I)
+    with torch.no_grad():
+        ref, _ = tl(x)
+    params = torch_lstm_state_to_params(
+        {k: v.detach().numpy() for k, v in tl.state_dict().items()},
+        prefix="", num_layers=num_layers, bidirectional=bidirectional)
+    got = np.array(bilstm(jnp.asarray(x.numpy()), params, hidden_size=H))
+    np.testing.assert_allclose(got, ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_bilstm_init_shapes_and_jit():
+    key = jax.random.PRNGKey(0)
+    params = lstm_params_init(key, input_size=1024, hidden_size=512)
+    assert params[0]["w_ih"].shape == (2, 2048, 1024)
+    assert params[1]["w_ih"].shape == (2, 2048, 1024)
+    x = jnp.zeros((8, 2, 1024))
+    y = jax.jit(lambda x: bilstm(x, params, 512))(x)
+    assert y.shape == (8, 2, 1024)
