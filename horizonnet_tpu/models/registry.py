@@ -1,0 +1,40 @@
+"""Backbone registry and model construction (reference model.py:18-24)."""
+
+import jax
+import jax.numpy as jnp
+
+from .horizonnet import HorizonNet
+
+ENCODER_RESNET = [
+    "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+    "resnext50_32x4d", "resnext101_32x8d",
+]
+ENCODER_DENSENET = [
+    "densenet121", "densenet169", "densenet161", "densenet201",
+]
+
+
+def build_model(backbone: str = "resnet50", use_rnn: bool = True,
+                dtype=jnp.float32, seam_pool: bool = False) -> HorizonNet:
+    if backbone not in ENCODER_RESNET + ENCODER_DENSENET:
+        raise ValueError(f"unknown backbone {backbone!r}")
+    return HorizonNet(backbone=backbone, use_rnn=use_rnn, dtype=dtype,
+                      seam_pool=seam_pool)
+
+
+def init_model(model: HorizonNet, key, input_shape=(1, 512, 1024, 3)):
+    """Initialize variables: returns {'params': ..., 'batch_stats': ...}.
+
+    Runs on host CPU under one jit: eager init would dispatch thousands of
+    tiny ops to the accelerator (catastrophic over a remote-TPU tunnel),
+    and the forward pass at init time contributes nothing to the params.
+    The caller device_puts the result where it wants it.
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+    x = jnp.zeros(input_shape, jnp.float32)
+
+    def init_fn(k, x):
+        return model.init({"params": k}, x, train=False)
+
+    with jax.default_device(cpu):
+        return jax.jit(init_fn)(key, x)

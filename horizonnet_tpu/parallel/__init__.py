@@ -1,0 +1,5 @@
+"""Device mesh + sharding layout for SPMD training/serving."""
+
+from .mesh import make_mesh, data_sharding, replicated, shard_batch
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch"]

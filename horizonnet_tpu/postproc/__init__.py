@@ -1,0 +1,11 @@
+"""Post-processing: corner peaks + Manhattan layout fitting.
+
+Peak finding runs on device (horizonnet_tpu.ops.filters); the greedy wall
+commitment (gen_ww_general) is intrinsically sequential list manipulation
+over <= ~32 walls (SURVEY.md §7 hard parts), so it stays on host where it
+costs microseconds.
+"""
+
+from .manhattan import vote, gen_ww, gen_ww_cuboid, gen_ww_general
+
+__all__ = ["vote", "gen_ww", "gen_ww_cuboid", "gen_ww_general"]

@@ -1,0 +1,82 @@
+"""Model tests: shapes, conv/BN parity vs torch, forward determinism."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from horizonnet_tpu.models import build_model
+from horizonnet_tpu.models.registry import init_model
+from horizonnet_tpu.models.layers import max_pool_same_as_torch
+from horizonnet_tpu.models.resnet import resnet_feature_channels
+from horizonnet_tpu.models.densenet import densenet_feature_channels
+
+
+def test_feature_channels():
+    assert resnet_feature_channels("resnet50") == (256, 512, 1024, 2048)
+    assert resnet_feature_channels("resnet18") == (64, 128, 256, 512)
+    assert densenet_feature_channels("densenet121") == (256, 512, 1024, 1024)
+    assert densenet_feature_channels("densenet161") == (384, 768, 2112, 2208)
+
+
+def test_maxpool_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 16, 16, 5)).astype(np.float32)
+    ref = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), 3, 2, 1).numpy()
+    got = np.array(max_pool_same_as_torch(jnp.asarray(x), 3, 2, 1))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=1e-6)
+
+
+def test_horizonnet_forward_shapes_small():
+    """Shape-polymorphic forward on a tiny pano (fast CPU test)."""
+    model = build_model("resnet18", use_rnn=True)
+    key = jax.random.PRNGKey(0)
+    variables = init_model(model, key, (1, 128, 256, 3))
+    x = jnp.zeros((2, 128, 256, 3))
+    bon, cor = model.apply(variables, x, train=False)
+    assert bon.shape == (2, 2, 256)
+    assert cor.shape == (2, 1, 256)
+
+
+def test_horizonnet_nornn_forward():
+    model = build_model("resnet18", use_rnn=False)
+    key = jax.random.PRNGKey(1)
+    variables = init_model(model, key, (1, 128, 256, 3))
+    x = jnp.zeros((1, 128, 256, 3))
+    bon, cor = model.apply(variables, x, train=False)
+    assert bon.shape == (1, 2, 256)
+    assert cor.shape == (1, 1, 256)
+
+
+def test_head_bias_prior():
+    """Fresh model on zero input emits the bias priors (cor<0 => sigmoid<0.27,
+    ceiling bon approx -0.478, floor approx 0.425), ref model.py:231-233."""
+    model = build_model("resnet18", use_rnn=True)
+    variables = init_model(model, jax.random.PRNGKey(2), (1, 128, 256, 3))
+    b = np.array(variables["params"]["linear"]["bias"])
+    np.testing.assert_allclose(b[:4], -1.0)
+    np.testing.assert_allclose(b[4:8], -0.478)
+    np.testing.assert_allclose(b[8:12], 0.425)
+
+
+def test_wrap_conv_seam_equivariance():
+    """Rolling the input pano rolls the output: the whole CNN is seam-free.
+
+    This is the property the reference's wrap_lr_pad monkey-patch exists to
+    provide (model.py:42-55). Verified through the encoder + height stage +
+    per-column MLP head (the LSTM head is inherently not roll-equivariant —
+    it carries state from a fixed start column — so use_rnn=False isolates
+    the convolutional seam behavior). seam_pool=True wrap-pads the maxpool,
+    the one op where torch parity would break exact equivariance.
+    """
+    model = build_model("resnet18", use_rnn=False, seam_pool=True)
+    variables = init_model(model, jax.random.PRNGKey(3), (1, 128, 256, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 128, 256, 3))
+    bon1, _ = model.apply(variables, x, train=False)
+    # Roll by 64 columns = 16 LSTM steps (multiple of total stride 4*4)
+    x_rolled = jnp.roll(x, 64, axis=2)
+    bon2, _ = model.apply(variables, x_rolled, train=False)
+    np.testing.assert_allclose(np.array(jnp.roll(bon1, 64, axis=-1)),
+                               np.array(bon2), atol=1e-5)

@@ -1,0 +1,124 @@
+"""Post-processing tests: vote consensus, cuboid/general wall fitting."""
+
+import numpy as np
+
+from horizonnet_tpu.geometry import xy2coor, cor_2_1d
+from horizonnet_tpu.postproc import vote, gen_ww
+from horizonnet_tpu.postproc.manhattan import get_gpid
+from horizonnet_tpu.inference import postprocess
+
+
+def _cuboid_room(w=6.0, d=4.0, z=50.0, W=1024, H=512):
+    """Plan rectangle centered on camera -> ceiling corner pixel coords."""
+    corners_xy = np.array([
+        [512 - w, 256 - d], [512 + w, 256 - d],
+        [512 + w, 256 + d], [512 - w, 256 + d],
+    ], np.float64) - 0.5
+    return xy2coor(corners_xy, z, 1024, 512)
+
+
+def test_vote_consensus():
+    vec = np.array([10.0, 10.01, 10.02, 9.99, 30.0])
+    best, score, l1 = vote(vec, tol=3)
+    assert abs(best - 10.005) < 0.01
+    assert score == 0.8
+    # All spread out beyond tol -> median fallback
+    best, score, _ = vote(np.array([0.0, 100.0, 200.0]), tol=0.5)
+    assert score == 0
+    assert best == 100.0
+
+
+def test_get_gpid_wraps():
+    gp = get_gpid(np.array([100, 400, 700, 900]), 1024)
+    assert gp[0] == 0 and gp[-1] == 0       # wrap: last segment joins first
+    assert gp[100] == 1 and gp[400] == 2 and gp[900] == 0
+    assert len(np.unique(gp)) == 4
+
+
+def test_gen_ww_cuboid_recovers_room():
+    cor_ceil = _cuboid_room()
+    xs = np.sort(np.round(cor_ceil[:, 0]).astype(int))
+    # Per-column ceiling boundary rows of the true room
+    full = np.array([[c, r] for (c, r) in cor_ceil for r_ in [0]], np.float64)
+    cor = []
+    for c, r in cor_ceil:
+        cor.append([c, r])        # ceiling
+        cor.append([c, 450.0])    # dummy floor rows (unused here)
+    bon = cor_2_1d(np.array(cor, np.float32), 512, 1024)
+    coory = (bon[0] / np.pi + 0.5) * 512 - 0.5
+
+    fit, walls = gen_ww(xs, coory, z=50, tol=3, force_cuboid=True)
+    assert len(fit) == 4
+    types = [w["type"] for w in walls]
+    assert types in ([0, 1, 0, 1], [1, 0, 1, 0])
+    # Recovered corner columns within a couple pixels of ground truth
+    got_x = np.sort(fit[:, 0])
+    want_x = np.sort(cor_ceil[:, 0])
+    assert np.abs(got_x - want_x).max() < 3.0
+
+
+def test_gen_ww_general_recovers_L_room():
+    """6-corner L-shaped room through the general greedy path."""
+    z = 50.0
+    pts = np.array([
+        [512 - 8, 256 - 6], [512 + 10, 256 - 6], [512 + 10, 256 + 2],
+        [512 + 2, 256 + 2], [512 + 2, 256 + 7], [512 - 8, 256 + 7],
+    ], np.float64) - 0.5
+    cor_ceil = xy2coor(pts, z, 1024, 512)
+    order = np.argsort(cor_ceil[:, 0])
+    cor_ceil = cor_ceil[order]
+    cor = []
+    for c, r in cor_ceil:
+        cor.append([c, r])
+        cor.append([c, 460.0])
+    bon = cor_2_1d(np.array(cor, np.float32), 512, 1024)
+    coory = (bon[0] / np.pi + 0.5) * 512 - 0.5
+    xs = np.sort(np.round(cor_ceil[:, 0]).astype(int))
+
+    fit, walls = gen_ww(xs, coory, z=z, tol=3, force_cuboid=False)
+    assert len(fit) == 6
+    # Types alternate around the loop
+    types = [w["type"] for w in walls]
+    for i in range(len(types)):
+        assert types[i] != types[i - 1]
+    got_x = np.sort(fit[:, 0])
+    want_x = np.sort(cor_ceil[:, 0])
+    assert np.abs(got_x - want_x).max() < 4.0
+
+
+def test_postprocess_cuboid_end_to_end():
+    """Synthetic perfect model output -> postprocess recovers the room."""
+    H, W = 512, 1024
+    cor_ceil = _cuboid_room()
+    cor = []
+    for c, r in cor_ceil:
+        cor.append([c, r])
+        cor.append([c, 440.0])
+    # cor_2_1d wants the min-x corner first and interleaved ceiling/floor
+    cor = np.array(cor, np.float32)
+    order = np.argsort(cor[::2, 0])
+    cor = cor.reshape(-1, 2, 2)[order].reshape(-1, 2)
+    bon = cor_2_1d(cor, H, W)
+
+    y_cor = np.zeros(W, np.float32)
+    for c in cor[::2, 0]:
+        y_cor[int(round(c))] = 1.0
+
+    cor_id, z0, z1 = postprocess(bon, y_cor, H, W, force_cuboid=True)
+    assert cor_id.shape == (8, 2)
+    assert z0 == 50.0
+    got_cols = np.sort(cor_id[::2, 0] * W)
+    want_cols = np.sort(cor[::2, 0])
+    assert np.abs(got_cols - want_cols).max() < 3.0
+    # Floor rows should roughly match the synthetic 440 constant
+    got_floor = cor_id[1::2, 1] * H
+    assert np.abs(got_floor - 440.0).max() < 6.0
+
+
+def test_postprocess_force_raw():
+    H, W = 512, 1024
+    bon = np.stack([np.full(W, -0.5), np.full(W, 0.5)])
+    y_cor = np.zeros(W, np.float32)
+    cor_id, z0, z1 = postprocess(bon, y_cor, H, W, force_raw=True)
+    assert cor_id.shape == (2 * W, 2)
+    assert (cor_id[:, 0] >= 0).all() and (cor_id[:, 0] <= 1).all()
