@@ -1,0 +1,80 @@
+"""Inference CLI: glob of aligned panos -> {z0, z1, uv} JSON per pano.
+
+Reference surface: inference.py:144-223. Same flags; adds --batch_size
+(the reference processes one pano per step; batching is the TPU win).
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--pth", required=True,
+                        help="checkpoint (.ckpt ours or reference .pth)")
+    parser.add_argument("--img_glob", required=True,
+                        help="quoted glob of VP-aligned input panos")
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--visualize", action="store_true")
+    parser.add_argument("--flip", action="store_true",
+                        help="left-right flip test-time augmentation")
+    parser.add_argument("--rotate", nargs="*", default=[], type=float,
+                        help="horizontal rotation TTA (fractions of width)")
+    parser.add_argument("--r", default=0.05, type=float)
+    parser.add_argument("--min_v", default=None, type=float)
+    parser.add_argument("--force_cuboid", action="store_true")
+    parser.add_argument("--force_raw", action="store_true")
+    parser.add_argument("--batch_size", default=4, type=int,
+                        help="panos per device step")
+    args = parser.parse_args(argv)
+
+    from PIL import Image
+    from ..train.checkpoint import load_trained_model
+    from ..inference import inference
+
+    paths = sorted(glob.glob(args.img_glob))
+    if len(paths) == 0:
+        print("no images found", file=sys.stderr)
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    model, variables = load_trained_model(args.pth)
+
+    def load(path):
+        img = Image.open(path)
+        if img.size != (1024, 512):
+            img = img.resize((1024, 512), Image.BICUBIC)
+        return np.asarray(img, np.float32)[..., :3] / 255.0
+
+    for i in range(0, len(paths), args.batch_size):
+        chunk = paths[i:i + args.batch_size]
+        x = np.stack([load(p) for p in chunk])
+        results = inference(model, variables, x, flip=args.flip,
+                            rotate=args.rotate, visualize=args.visualize,
+                            force_cuboid=args.force_cuboid,
+                            force_raw=args.force_raw,
+                            min_v=args.min_v, r=args.r)
+        for path, (cor_id, z0, z1, vis) in zip(chunk, results):
+            k = os.path.split(path)[-1][:-4]
+            with open(os.path.join(args.output_dir, k + ".json"), "w") as f:
+                json.dump({
+                    "z0": float(z0), "z1": float(z1),
+                    "uv": [[float(u), float(v)] for u, v in cor_id],
+                }, f)
+            if vis is not None:
+                vh, vw = vis.shape[:2]
+                Image.fromarray(vis).resize((vw // 2, vh // 2),
+                                            Image.LANCZOS).save(
+                    os.path.join(args.output_dir, k + ".raw.png"))
+            print(k, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""3D layout viewer / mesh export CLI (reference layout_viewer.py surface).
+
+Writes an ASCII PLY (--out); interactive open3d viewing (--vis) is gated on
+open3d availability (not bundled in this environment).
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--img", required=True, help="texture pano")
+    parser.add_argument("--layout", required=True,
+                        help="inference json ({z0,z1,uv}) or GT corner txt")
+    parser.add_argument("--out", help="output .ply path")
+    parser.add_argument("--vis", action="store_true",
+                        help="open3d interactive view (requires open3d)")
+    parser.add_argument("--ignore_floor", action="store_true")
+    parser.add_argument("--ignore_ceiling", action="store_true")
+    parser.add_argument("--ignore_wall", action="store_true")
+    args = parser.parse_args(argv)
+
+    from PIL import Image
+    from ..viewer.mesh import layout_to_mesh, write_ply
+
+    img = Image.open(args.img)
+    if img.size != (1024, 512):
+        img = img.resize((1024, 512), Image.BICUBIC)
+    img = np.asarray(img, np.float32)[..., :3] / 255.0
+    H, W = img.shape[:2]
+
+    if args.layout.endswith("json"):
+        with open(args.layout) as f:
+            dt = json.load(f)
+        cor_id = np.array(dt["uv"], np.float32) * [W, H]
+    else:
+        with open(args.layout) as f:
+            cor_id = np.array([l.split() for l in f], np.float32)
+
+    xyz, rgb, faces = layout_to_mesh(
+        cor_id, img, args.ignore_floor, args.ignore_ceiling, args.ignore_wall)
+
+    if args.out:
+        write_ply(args.out, xyz, rgb, faces)
+        print(f"wrote {args.out}: {len(xyz)} vertices, {len(faces)} faces")
+    if args.vis:
+        try:
+            import open3d as o3d
+        except ImportError:
+            print("open3d not available in this environment; use --out "
+                  "and an external PLY viewer", file=sys.stderr)
+            return 1
+        mesh = o3d.geometry.TriangleMesh(
+            o3d.utility.Vector3dVector(xyz),
+            o3d.utility.Vector3iVector(faces))
+        mesh.vertex_colors = o3d.utility.Vector3dVector(rgb / 255.0)
+        o3d.visualization.draw_geometries([mesh])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

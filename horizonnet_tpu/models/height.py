@@ -46,10 +46,11 @@ class GlobalHeightConv(nn.Module):
         x = ConvCompressH(self.in_c // 2, dtype=self.dtype, name="c1")(x, train)
         x = ConvCompressH(self.in_c // 4, dtype=self.dtype, name="c2")(x, train)
         x = ConvCompressH(self.out_c, dtype=self.dtype, name="c3")(x, train)
-        # NHWC -> NCHW view for the width-last resize, back after
-        x = jnp.transpose(x, (0, 3, 1, 2))
-        x = wrap_resize_width(x, out_w)
-        return x  # [B, C, H', out_w]
+        # Resize width in NHWC (MXU matmul over axis 2), then lay out as
+        # [B, C, H', out_w] for the channel-major column flatten the
+        # reference uses (model.py:175-178)
+        x = wrap_resize_width(x, out_w, axis=2)
+        return jnp.transpose(x, (0, 3, 1, 2))
 
 
 class GlobalHeightStage(nn.Module):

@@ -83,7 +83,9 @@ def max_pool_same_as_torch(x, window=3, stride=2, padding=1, wrap_width=False):
     stays torch-compatible; pass True when training from scratch
     (HorizonNet(seam_pool=True)) for exact roll equivariance.
     """
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf exactly: JAX's reverse-mode rule for reduce_window only
+    # recognizes max-pooling with a -inf identity
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     if wrap_width:
         x = wrap_pad_width(x, padding, axis=2)
         wpad = (0, 0)

@@ -66,15 +66,19 @@ def _bidir_layer(x, p, hidden_size):
     H = hidden_size
 
     prec = matmul_precision(x.dtype)
+    # Params follow the input compute dtype (bf16 params in the bf16 path
+    # keeps every matmul on the fast MXU path and the scan carry stable)
+    w_ih = p["w_ih"].astype(x.dtype)
+    b = p["b"].astype(x.dtype)
     # Hoisted input projection for every step and both directions:
     # [T, B, I] x [D, I, 4H] -> [T, D, B, 4H]
-    xw = jnp.einsum("tbi,dgi->tdbg", x, p["w_ih"], precision=prec) \
-        + p["b"][None, :, None, :]
+    xw = jnp.einsum("tbi,dgi->tdbg", x, w_ih, precision=prec) \
+        + b[None, :, None, :]
     if D == 2:
         # Reverse direction consumes the sequence back-to-front
         xw = jnp.stack([xw[:, 0], xw[::-1, 1]], axis=1)
 
-    w_hh_t = jnp.swapaxes(p["w_hh"], 1, 2)  # [D, H, 4H]
+    w_hh_t = jnp.swapaxes(p["w_hh"], 1, 2).astype(x.dtype)  # [D, H, 4H]
 
     def step(carry, xw_t):
         h, c = carry  # [D, B, H]
