@@ -1,0 +1,75 @@
+"""Preprocess CLI: VP detection + alignment warps + line maps.
+
+Reference surface: preprocess.py. Writes per input pano:
+- ``{name}_VP.txt``       3x3 vanishing-point rows (same order/format)
+- ``{name}_aligned_rgb.png``  VP-aligned pano
+- ``{name}_aligned_line.png`` VP-aligned 3-channel line-segment raster
+or just ``{name}.png`` with --rgbonly.
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("--img_glob", required=True,
+                        help="quoted glob of input panos")
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--rgbonly", action="store_true",
+                        help="only write the aligned RGB (custom datasets)")
+    parser.add_argument("--q_error", default=0.7, type=float)
+    parser.add_argument("--refine_iter", default=3, type=int)
+    args = parser.parse_args(argv)
+
+    from PIL import Image
+    from ..preprocess import pano_edge_detection, rotate_panorama
+
+    paths = sorted(glob.glob(args.img_glob))
+    if len(paths) == 0:
+        print("no images found", file=sys.stderr)
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    for i_path in paths:
+        print("Processing", i_path, flush=True)
+        img_ori = np.array(Image.open(i_path).resize(
+            (1024, 512), Image.BICUBIC))[..., :3]
+
+        result = pano_edge_detection(img_ori, q_error=args.q_error,
+                                     refine_iter=args.refine_iter)
+        vp = result["vp"]
+        if vp is None:
+            print(f"[WARN] VP detection failed for {i_path}",
+                  file=sys.stderr)
+            continue
+        pano_edge = (result["pano_edge"] > 0)
+
+        i_img = rotate_panorama(img_ori / 255.0, vp[2::-1])
+        l_img = rotate_panorama(pano_edge.astype(np.float32), vp[2::-1])
+
+        basename = os.path.splitext(os.path.basename(i_path))[0]
+        if args.rgbonly:
+            Image.fromarray((np.clip(i_img, 0, 1) * 255).astype(np.uint8)) \
+                .save(os.path.join(args.output_dir, f"{basename}.png"))
+        else:
+            with open(os.path.join(args.output_dir,
+                                   f"{basename}_VP.txt"), "w") as f:
+                for i in range(3):
+                    f.write("%.6f %.6f %.6f\n" % tuple(vp[i]))
+            Image.fromarray((np.clip(i_img, 0, 1) * 255).astype(np.uint8)) \
+                .save(os.path.join(args.output_dir,
+                                   f"{basename}_aligned_rgb.png"))
+            Image.fromarray((np.clip(l_img, 0, 1) * 255).astype(np.uint8)) \
+                .save(os.path.join(args.output_dir,
+                                   f"{basename}_aligned_line.png"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,233 @@
+"""Line-segment lifting, merging, VP assignment, refitting, painting.
+
+Host-side numpy over at most a few thousand segments. Reference behavior:
+misc/pano_lsd_align.py:273-436 (edgeFromImg2Pano, combineEdgesN),
+715-801 (assignVanishingType, refitLineSegmentB, paintParameterLine).
+
+Line parameterization: [nx ny nz planeID umin umax arclen score] where
+(nx,ny,nz) is the great-circle normal and (umin, umax) the azimuth range
+in turns (0..1) in the planeID convention.
+"""
+
+import numpy as np
+
+from .sphere import (xyz2uvN, uv2xyzN, computeUVN, computeUVN_vec,
+                     uv2xyzN_vec, fit_plane_normal)
+
+
+def lift_segments_to_sphere(seg_list, vx, vy, fov, im_hw):
+    """Perspective-view segments -> sphere great-circle normals.
+
+    seg_list: (N, >=5) rows [x1 y1 x2 y2 width ... score]; returns
+    (N, 10) rows [normal(3) coord1(3) coord2(3) score].
+    Ref: misc/pano_lsd_align.py:273-312.
+    """
+    if len(seg_list) == 0:
+        return np.zeros((0, 10))
+    imH, imW = im_hw
+    R = (imW / 2) / np.tan(fov / 2)
+    # tangent-plane origin on the sphere of radius R
+    x0 = R * np.cos(vy) * np.sin(vx)
+    y0 = R * np.cos(vy) * np.cos(vx)
+    z0 = R * np.sin(vy)
+    vecposX = np.array([np.cos(vx), -np.sin(vx), 0.0])
+    vecposY = np.cross(np.array([x0, y0, z0]), vecposX)
+    vecposY /= np.linalg.norm(vecposY)
+    Xc = (imW - 1) / 2
+    Yc = (imH - 1) / 2
+
+    p1 = (seg_list[:, [0]] - Xc) * vecposX + (seg_list[:, [1]] - Yc) * vecposY
+    p2 = (seg_list[:, [2]] - Xc) * vecposX + (seg_list[:, [3]] - Yc) * vecposY
+    coord1 = p1 + [x0, y0, z0]
+    coord2 = p2 + [x0, y0, z0]
+    normal = np.cross(coord1, coord2)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    score = seg_list[:, [-1]]
+    return np.hstack([normal, coord1, coord2, score])
+
+
+def _range_intersects(r1, r2):
+    """Do two (possibly seam-wrapping) turn-ranges overlap? Open overlap.
+
+    Ref: pano_lsd_align.py:315-335.
+    """
+    def unwrap(r):
+        if r[1] < r[0]:
+            return [(r[0], 1.0), (0.0, r[1])]
+        return [(r[0], r[1]), (0.0, 0.0)]
+
+    for a in unwrap(r1):
+        for b in unwrap(r2):
+            if max(a[0], b[0]) < min(a[1], b[1]):
+                return True
+    return False
+
+
+def _inside_range(pt, r):
+    """Is turn-coordinate pt inside (possibly wrapping) range r?"""
+    if r[1] > r[0]:
+        return r[0] <= pt <= r[1]
+    return (r[0] <= pt <= 1.0) or (0.0 <= pt <= r[1])
+
+
+def segments_to_lines(arc_list):
+    """(N,10) lifted segments -> (N,8) parameterized lines.
+
+    planeID picks the axis the normal is most aligned with (so u is
+    well-conditioned). Ref: combineEdgesN's first half, :364-387.
+    """
+    n = len(arc_list)
+    lines = np.zeros((n, 8))
+    plane_ids = np.argmax(np.abs(arc_list[:, [2, 0, 1]]), axis=1) + 1
+    for i in range(n):
+        lines[i, :3] = arc_list[i, :3]
+        lines[i, 3] = plane_ids[i]
+        c1, c2 = arc_list[i, 3:6], arc_list[i, 6:9]
+        uv = xyz2uvN(np.stack([c1, c2]), plane_ids[i])
+        umax = uv[:, 0].max() + np.pi
+        umin = uv[:, 0].min() + np.pi
+        if umax - umin > np.pi:
+            lines[i, 4:6] = [umax / (2 * np.pi), umin / (2 * np.pi)]
+        else:
+            lines[i, 4:6] = [umin / (2 * np.pi), umax / (2 * np.pi)]
+        cosang = np.dot(c1, c2) / (np.linalg.norm(c1) * np.linalg.norm(c2))
+        lines[i, 6] = np.arccos(np.clip(cosang, -1, 1))
+        lines[i, 7] = arc_list[i, 9]
+    return lines
+
+
+def combine_edges(per_view_lifted):
+    """Conservatively merge near-collinear overlapping segments, 3 rounds.
+
+    Ref: combineEdgesN (pano_lsd_align.py:348-436). Returns (merged,
+    originals), both (N, 8).
+    """
+    stacks = [p for p in per_view_lifted if len(p)]
+    if not stacks:
+        return np.zeros((0, 8)), np.zeros((0, 8))
+    arc_list = np.vstack(stacks)
+    ori_lines = segments_to_lines(arc_list)
+
+    lines = ori_lines.copy()
+    for _ in range(3):
+        n = len(lines)
+        valid = np.ones(n, bool)
+        for i in range(n):
+            if not valid[i]:
+                continue
+            dots = (lines[:, :3] * lines[i, :3]).sum(1)
+            near = (np.abs(dots) > np.cos(np.pi / 180)) & valid
+            near[i] = False
+            for j in np.nonzero(near)[0]:
+                if not _range_intersects(lines[i, 4:6], lines[j, 4:6]):
+                    continue
+                # arclength-weighted merged normal (sign-aligned)
+                axis = np.argmax(np.abs(lines[i, :3]))
+                if lines[i, axis] * lines[j, axis] > 0:
+                    nc = lines[i, :3] * lines[i, 6] + lines[j, :3] * lines[j, 6]
+                else:
+                    nc = lines[i, :3] * lines[i, 6] - lines[j, :3] * lines[j, 6]
+                nc /= np.linalg.norm(nc)
+
+                r1, r2 = lines[i, 4:6], lines[j, 4:6]
+                nrmin = r2[0] if _inside_range(r1[0], r2) else r1[0]
+                nrmax = r2[1] if _inside_range(r1[1], r2) else r1[1]
+
+                u = np.array([[nrmin], [nrmax]]) * 2 * np.pi - np.pi
+                v = computeUVN(nc, u, lines[i, 3])
+                xyz = uv2xyzN(np.hstack([u, v]), lines[i, 3])
+                arclen = np.arccos(np.clip(np.dot(xyz[0], xyz[1]), -1, 1))
+                score = (lines[i, 6] * lines[i, 7] + lines[j, 6] * lines[j, 7]) \
+                    / (lines[i, 6] + lines[j, 6])
+                lines[i] = [*nc, lines[i, 3], nrmin, nrmax, arclen, score]
+                valid[j] = False
+        lines = lines[valid]
+    return lines, ori_lines
+
+
+def assign_vanishing_type(lines, vp, tol, area=10):
+    """Assign each line to the nearest VP (or none).
+
+    Cost = angle between line normal and VP (normal perpendicular to VP
+    direction means the line points at the VP); lines passing too close to
+    the VP itself are disqualified. Ref: pano_lsd_align.py:715-741.
+    """
+    n_line, n_vp = len(lines), len(vp)
+    cost = np.zeros((n_line, n_vp))
+    for vid in range(n_vp):
+        cosint = (lines[:, :3] * vp[[vid]]).sum(1)
+        cost[:, vid] = np.arcsin(np.clip(np.abs(cosint), -1, 1))
+
+    if n_line:
+        u = np.stack([lines[:, 4], lines[:, 5]], -1).reshape(-1, 1) \
+            * 2 * np.pi - np.pi
+        v = computeUVN_vec(lines[:, :3], u, lines[:, 3])
+        xyz = uv2xyzN_vec(np.hstack([u, v]), np.repeat(lines[:, 3], 2))
+        # 100 samples along each segment
+        t = np.linspace(0, 1, 100)
+        starts = xyz[0::2]
+        ends = xyz[1::2]
+        samples = starts[:, None, :] * (1 - t[None, :, None]) \
+            + ends[:, None, :] * t[None, :, None]
+        samples /= np.linalg.norm(samples, axis=-1, keepdims=True)
+        for vid in range(n_vp):
+            ang = np.arccos(np.clip(np.abs(samples @ vp[vid]), -1, 1))
+            passes_near = (ang < area * np.pi / 180).sum(1) != 0
+            cost[passes_near, vid] = 100
+
+    best = cost.min(1)
+    tp = cost.argmin(1)
+    tp[best > tol] = n_vp + 1
+    return tp, cost
+
+
+def refit_line_segments(lines, vp, vpweight=0.1):
+    """Refit each line's great circle, optionally pulled toward the VP.
+
+    Ref: pano_lsd_align.py:744-774.
+    """
+    num_sample = 100
+    out = lines.copy()
+    wei = np.ones((num_sample + 1, 1))
+    wei[num_sample] = vpweight * num_sample
+    for i in range(len(lines)):
+        n = lines[i, :3]
+        sid = lines[i, 4] * 2 * np.pi
+        eid = lines[i, 5] * 2 * np.pi
+        if eid < sid:
+            x = np.linspace(sid, eid + 2 * np.pi, num_sample) % (2 * np.pi)
+        else:
+            x = np.linspace(sid, eid, num_sample)
+        u = -np.pi + x.reshape(-1, 1)
+        v = computeUVN(n, u, lines[i, 3])
+        xyz = np.vstack([uv2xyzN(np.hstack([u, v]), lines[i, 3]),
+                         np.asarray(vp).reshape(1, 3)])
+        out[i, :3] = fit_plane_normal(xyz, wei)
+    return out
+
+
+def paint_parameter_lines(lines, width, height):
+    """Raster the great-circle arcs onto a pano-sized map.
+
+    Ref: pano_lsd_align.py:777-801 (pixel value = line index, as there).
+    """
+    canvas = np.zeros((height, width))
+    num_sample = max(height, width)
+    for i in range(len(lines)):
+        n = lines[i, :3]
+        sid = lines[i, 4] * 2 * np.pi
+        eid = lines[i, 5] * 2 * np.pi
+        if eid < sid:
+            x = np.linspace(sid, eid + 2 * np.pi, num_sample) % (2 * np.pi)
+        else:
+            x = np.linspace(sid, eid, num_sample)
+        u = -np.pi + x.reshape(-1, 1)
+        v = computeUVN(n, u, lines[i, 3])
+        xyz = uv2xyzN(np.hstack([u, v]), lines[i, 3])
+        uv = xyz2uvN(xyz, 1)
+        cols = np.minimum(np.floor((uv[:, 0] + np.pi) / (2 * np.pi) * width)
+                          + 1, width).astype(np.int32)
+        rows = np.minimum(np.floor((np.pi / 2 - uv[:, 1]) / np.pi * height)
+                          + 1, height).astype(np.int32)
+        canvas[rows - 1, cols - 1] = i
+    return canvas

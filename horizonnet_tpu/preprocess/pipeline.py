@@ -1,0 +1,104 @@
+"""Full VP-alignment pipeline: views -> LSD -> merge -> Hough -> refit.
+
+Reference behavior: panoEdgeDetection (misc/pano_lsd_align.py:804-868).
+Device work: batched view cutting + grayscale (one gather+matmul); host
+work: LSD (C++), lifting/merging/Hough/refit (vectorized numpy).
+"""
+
+import numpy as np
+
+from .views import cut_views, rgb_to_gray, VIEW_DIRECTIONS
+from .lsd import lsd
+from .lines import (lift_segments_to_sphere, combine_edges,
+                    assign_vanishing_type, refit_line_segments,
+                    paint_parameter_lines)
+from .vanishing import find_main_direction
+
+
+def draw_segments(shape, segments):
+    """Raster segments (with width) into a mask — cv2.line replacement.
+
+    Walks each segment at sub-pixel steps stamping a square brush of the
+    segment's half-width (the reference uses cv2.line thickness
+    ceil(width/2), pano_lsd_align.py:268).
+    """
+    canvas = np.zeros(shape, np.uint8)
+    H, W = shape
+    for seg in segments:
+        x1, y1, x2, y2, width = seg[:5]
+        r = max(int(np.ceil(width / 2)) // 2, 0)
+        n = int(max(abs(x2 - x1), abs(y2 - y1), 1)) * 2
+        ts = np.linspace(0, 1, n + 1)
+        xs = np.round(x1 + ts * (x2 - x1)).astype(int)
+        ys = np.round(y1 + ts * (y2 - y1)).astype(int)
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                xx = np.clip(xs + dx, 0, W - 1)
+                yy = np.clip(ys + dy, 0, H - 1)
+                canvas[yy, xx] = 255
+    return canvas
+
+
+def pano_edge_detection(img, view_size=320, q_error=0.7, refine_iter=3):
+    """img: [H, W, 3] float 0..1 or uint8. Returns a dict with:
+
+    lines, vp (6x3: 3 directions + mirrors), views, edges, pano_edge
+    ([H, W, 3] line raster per VP class), score, angle.
+    """
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img_f = img.astype(np.float64)
+    else:
+        img_f = img.astype(np.float64) * (255.0 if img.max() <= 1.001 else 1.0)
+    H, W = img.shape[:2]
+
+    # Device: cut all views + grayscale in one pass
+    views = np.asarray(cut_views(img_f, size=view_size))
+    grays = np.asarray(rgb_to_gray(views))
+
+    xs, ys = VIEW_DIRECTIONS
+    fov = np.pi / 3
+    edges = []
+    lifted = []
+    for i in range(len(xs)):
+        seg = lsd(grays[i], quant=q_error)
+        if len(seg):
+            seg_list = np.hstack([seg[:, :5], np.ones((len(seg), 2))])
+        else:
+            seg_list = np.zeros((0, 7))
+        pano_lst = lift_segments_to_sphere(
+            seg_list, xs[i], ys[i], fov, grays[i].shape)
+        edge_map = draw_segments(grays[i].shape, seg) if len(seg) else \
+            np.zeros(grays[i].shape, np.uint8)
+        edges.append({"img": edge_map, "edgeLst": seg_list, "vx": xs[i],
+                      "vy": ys[i], "fov": fov, "panoLst": pano_lst})
+        lifted.append(pano_lst)
+
+    lines, olines = combine_edges(lifted)
+
+    clines = lines.copy()
+    main_direct = None
+    score = angle = 0
+    groups = [np.zeros((0, 8))] * 3
+    for _ in range(refine_iter):
+        main_direct, score, angle = find_main_direction(clines)
+        if main_direct is None:
+            break
+        tp, _ = assign_vanishing_type(lines, main_direct[:3], 0.1, 10)
+        groups = [lines[tp == k] for k in range(3)]
+        groups = [refit_line_segments(gk, main_direct[k], 0)
+                  for k, gk in enumerate(groups)]
+        clines = np.vstack(groups)
+
+    pano_edge = np.stack([
+        paint_parameter_lines(gk, W, H) for gk in groups], -1)
+
+    return {
+        "lines": clines,
+        "vp": main_direct,
+        "views": views,
+        "edges": edges,
+        "pano_edge": pano_edge,
+        "score": score,
+        "angle": angle,
+    }

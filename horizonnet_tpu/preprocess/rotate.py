@@ -1,0 +1,51 @@
+"""Panorama rotation by a 3x3 rotation (VP alignment warp) on device.
+
+Reference behavior: misc/pano_lsd_align.py:125-171 (rotatePanorama): for
+each output pixel, compute its sphere direction, rotate back through
+R^-1 (R = inv(vp.T) when built from a VP triplet), and sample the source
+pano bilinearly. One fused device gather here, instead of the reference's
+border-padded host resample (whose bottom-row wrap has a known copy-from-
+row-0 typo, pano_lsd_align.py:163, not reproduced).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.resample import bilinear_wrap_sample
+
+
+def rotate_panorama(img, vp=None, R=None):
+    """img: [H, W, C]; vp: (3,3) VP rows or R: explicit rotation."""
+    H, W = img.shape[:2]
+    if R is None:
+        R = np.linalg.inv(np.asarray(vp, np.float64).T)
+    Rinv = np.linalg.inv(R)
+
+    @jax.jit
+    def _rot(img, Rinv):
+        xs = ((jnp.arange(1, W + 1, dtype=jnp.float32) - W / 2 - 0.5)
+              / W * 2 * np.pi)
+        ys = -((jnp.arange(1, H + 1, dtype=jnp.float32) - H / 2 - 0.5)
+               / H * np.pi)
+        u = jnp.broadcast_to(xs[None, :], (H, W))
+        v = jnp.broadcast_to(ys[:, None], (H, W))
+        # planeID=1 sphere direction
+        x = jnp.cos(v) * jnp.sin(u)
+        y = jnp.cos(v) * jnp.cos(u)
+        z = jnp.sin(v)
+        xyz = jnp.stack([x, y, z], -1)            # [H, W, 3]
+        # old = Rinv @ new per pixel (row-vector form: xyz @ Rinv^T)
+        old = jnp.einsum("hwc,dc->hwd", xyz, Rinv.astype(jnp.float32))
+        ox, oy, oz = old[..., 0], old[..., 1], old[..., 2]
+        norm_xy = jnp.maximum(jnp.sqrt(ox ** 2 + oy ** 2), 1e-6)
+        norm = jnp.sqrt(ox ** 2 + oy ** 2 + oz ** 2)
+        ov = jnp.arcsin(jnp.clip(oz / norm, -1, 1))
+        ou = jnp.arcsin(jnp.clip(ox / norm_xy, -1, 1))
+        ou = jnp.where((oy < 0) & (ou >= 0), np.pi - ou, ou)
+        ou = jnp.where((oy < 0) & (ou < 0), -np.pi - ou, ou)
+        Px = (ou + np.pi) / (2 * np.pi) * W + 0.5
+        Py = (-ov + np.pi / 2) / np.pi * H + 0.5
+        return bilinear_wrap_sample(img, Py - 1.0, Px - 1.0)
+
+    return np.asarray(_rot(jnp.asarray(img), jnp.asarray(Rinv)))

@@ -1,0 +1,103 @@
+"""Batched perspective view cutting: 26 views in one device gather.
+
+The reference cuts views one at a time on host (separatePano/imgLookAt,
+misc/pano_lsd_align.py:174-245), each a full map_coordinates resample.
+Here the source-coordinate math for all views is vmapped and the pano is
+sampled once — a single [V, S, S] wrap-bilinear gather on device.
+
+View set (panoEdgeDetection, pano_lsd_align.py:818-827): 12 horizon views
+every 30 deg, 12 at elevation +-45 deg, 2 poles; fov pi/3, 320 px.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.resample import bilinear_wrap_sample
+
+
+def view_directions():
+    xh = np.arange(-np.pi, np.pi * 5 / 6, np.pi / 6)
+    yh = np.zeros(len(xh))
+    xp = np.array([-3, -2, -1, 0, 1, 2, -3, -2, -1, 0, 1, 2]) / 3 * np.pi
+    yp = np.array([1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1]) / 4 * np.pi
+    x = np.concatenate([xh, xp, [0, 0]])
+    y = np.concatenate([yh, yp, [np.pi / 2, -np.pi / 2]])
+    return x, y
+
+
+VIEW_DIRECTIONS = view_directions()
+
+
+def _view_source_coords(vx, vy, size, fov, sphereH, sphereW):
+    """Pano source pixel coords (y, x) for one perspective view.
+
+    Tangent-plane ray construction matching imgLookAt
+    (pano_lsd_align.py:174-225): pixel offsets (TX, TY) from the view
+    center, focal r = S/2/tan(fov/2); tilt by vy around the horizontal
+    axis, then pan by vx.
+    """
+    t = jnp.arange(1, size + 1, dtype=jnp.float32) - 0.5 - size / 2
+    TX = jnp.broadcast_to(t[None, :], (size, size))   # column offset
+    TY = jnp.broadcast_to(t[:, None], (size, size))   # row offset
+    r = size / 2 / np.tan(fov / 2)
+
+    R = jnp.sqrt(TY ** 2 + r ** 2)
+    ang_y = jnp.arctan(-TY / r) + vy
+
+    X = jnp.sin(ang_y) * R
+    Y = -jnp.cos(ang_y) * R
+    Z = TX
+
+    flip = jnp.abs(ang_y) > np.pi / 2
+
+    ang_x = jnp.arctan2(Z, -Y)  # atan(Z/-Y) with quadrant fix below
+    # Reference uses atan(Z/-Y) then adds pi where |ang_y|>pi/2; emulate
+    # with plain arctan to keep identical branch structure
+    ang_x = jnp.arctan(Z / -Y)
+    ang_x = jnp.where(flip, ang_x + np.pi, ang_x)
+
+    RZY = jnp.sqrt(Z ** 2 + Y ** 2)
+    ang_y2 = jnp.arctan(X / RZY)
+    ang_x = ang_x + vx
+
+    below = ang_y2 < -np.pi / 2
+    ang_y2 = jnp.where(below, -np.pi - ang_y2, ang_y2)
+    ang_x = jnp.where(below, ang_x + np.pi, ang_x)
+
+    ang_x = jnp.mod(ang_x + np.pi, 2 * np.pi) - np.pi
+
+    Px = (ang_x + np.pi) / (2 * np.pi) * sphereW + 0.5
+    Py = (-ang_y2 + np.pi / 2) / np.pi * sphereH + 0.5
+    # to 0-based sample coordinates
+    return Py - 1.0, Px - 1.0
+
+
+def cut_views(pano, size=320, fov=np.pi / 3, directions=None):
+    """Cut all views at once. pano: [H, W, C] float. Returns [V, S, S, C].
+
+    Wrap-addressing replaces the reference's 2-column pad + clamp; the two
+    agree everywhere except sub-pixel at the seam, where wrap is exact.
+    """
+    if directions is None:
+        xs, ys = VIEW_DIRECTIONS
+    else:
+        xs, ys = directions
+    H, W = pano.shape[:2]
+    pano = jnp.asarray(pano)
+
+    @jax.jit
+    def _cut(pano):
+        def one(vx, vy):
+            py, px = _view_source_coords(vx, vy, size, fov, H, W)
+            return bilinear_wrap_sample(pano, py, px)
+        return jax.vmap(one)(jnp.asarray(xs, jnp.float32),
+                             jnp.asarray(ys, jnp.float32))
+
+    return _cut(pano)
+
+
+def rgb_to_gray(views):
+    """ITU-R 601 luma (cv2 RGB2GRAY weights): [.., 3] -> [..]."""
+    w = jnp.asarray([0.299, 0.587, 0.114], views.dtype)
+    return views @ w

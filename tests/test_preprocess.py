@@ -1,0 +1,158 @@
+"""Preprocess tests: sphere conventions, views, LSD, Hough, golden VP."""
+
+import os
+
+import numpy as np
+import pytest
+
+from horizonnet_tpu.preprocess.sphere import (
+    xyz2uvN, uv2xyzN, computeUVN, computeUVN_vec, icosahedron2sphere,
+    fit_plane_normal,
+)
+from horizonnet_tpu.preprocess.views import cut_views, VIEW_DIRECTIONS, rgb_to_gray
+from horizonnet_tpu.preprocess.lines import (
+    lift_segments_to_sphere, segments_to_lines, _range_intersects,
+    _inside_range,
+)
+from horizonnet_tpu.preprocess.vanishing import sphere_hough_vote
+
+
+def test_uv_xyz_roundtrip_all_planes():
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(50, 3))
+    xyz /= np.linalg.norm(xyz, axis=1, keepdims=True)
+    for p in (1, 2, 3):
+        uv = xyz2uvN(xyz, p)
+        back = uv2xyzN(uv, p)
+        np.testing.assert_allclose(back, xyz, atol=1e-9)
+
+
+def test_computeUVN_on_great_circle():
+    """v returned by computeUVN puts the point on the circle n.x=0."""
+    rng = np.random.default_rng(1)
+    n = rng.normal(size=3)
+    n /= np.linalg.norm(n)
+    u = rng.uniform(-np.pi, np.pi, (20, 1))
+    for p in (1, 2, 3):
+        v = computeUVN(n, u, p)
+        xyz = uv2xyzN(np.hstack([u, v]), p)
+        np.testing.assert_allclose(xyz @ n, 0, atol=1e-6)
+
+
+def test_computeUVN_vec_matches_scalar():
+    rng = np.random.default_rng(2)
+    ns = rng.normal(size=(4, 3))
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    plane = np.array([1, 2, 3, 1])
+    u = rng.uniform(-np.pi, np.pi, (8, 1))
+    got = computeUVN_vec(ns, u, plane)
+    for i in range(4):
+        exp = computeUVN(ns[i], u[2 * i:2 * i + 2], plane[i])
+        np.testing.assert_allclose(got[2 * i:2 * i + 2], exp, atol=1e-12)
+
+
+def test_icosahedron_levels():
+    pts0, tri0 = icosahedron2sphere(0)
+    assert pts0.shape == (12, 3) and tri0.shape == (20, 3)
+    pts3, tri3 = icosahedron2sphere(3)
+    assert len(pts3) == 642  # 10*4^3+2
+    np.testing.assert_allclose(np.linalg.norm(pts3, axis=1), 1, atol=1e-12)
+
+
+def test_fit_plane_normal_recovers_plane():
+    rng = np.random.default_rng(3)
+    n_true = np.array([1.0, 2.0, -0.5])
+    n_true /= np.linalg.norm(n_true)
+    # Random unit vectors orthogonal to n_true
+    raw = rng.normal(size=(100, 3))
+    pts = raw - np.outer(raw @ n_true, n_true)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    got = fit_plane_normal(pts, np.ones((100, 1)))
+    assert min(np.linalg.norm(got - n_true), np.linalg.norm(got + n_true)) < 1e-6
+
+
+def test_cut_views_shapes_and_center():
+    H, W = 64, 128
+    pano = np.zeros((H, W, 3), np.float32)
+    pano[:, :, 0] = np.linspace(0, 1, W)[None, :]
+    views = np.asarray(cut_views(pano, size=32))
+    assert views.shape == (26, 32, 32, 3)
+    # The first horizon view looks at azimuth -pi: its center pixel samples
+    # pano column ~0 (u = -pi maps to x ~ -0.5 i.e. wraps to the seam)
+    xs, ys = VIEW_DIRECTIONS
+    assert xs[0] == -np.pi and ys[0] == 0
+    g = rgb_to_gray(views)
+    assert g.shape == (26, 32, 32)
+
+
+def test_range_helpers_wrap():
+    assert _range_intersects([0.9, 0.1], [0.95, 0.05])
+    assert _range_intersects([0.2, 0.4], [0.3, 0.5])
+    assert not _range_intersects([0.2, 0.3], [0.5, 0.6])
+    assert _inside_range(0.95, [0.9, 0.1])
+    assert _inside_range(0.05, [0.9, 0.1])
+    assert not _inside_range(0.5, [0.9, 0.1])
+
+
+def test_lift_segments_normal_is_perpendicular():
+    """Lifted great-circle normal must be orthogonal to both endpoints."""
+    seg = np.array([[10.0, 20.0, 300.0, 40.0, 2.0, 1.0, 1.0]])
+    out = lift_segments_to_sphere(seg, 0.3, 0.2, np.pi / 3, (320, 320))
+    n, c1, c2 = out[0, :3], out[0, 3:6], out[0, 6:9]
+    assert abs(np.dot(n, c1)) < 1e-6 * np.linalg.norm(c1)
+    assert abs(np.dot(n, c2)) < 1e-6 * np.linalg.norm(c2)
+    lines = segments_to_lines(out)
+    assert lines.shape == (1, 8)
+    assert lines[0, 3] in (1, 2, 3)
+
+
+def test_sphere_hough_on_synthetic_manhattan():
+    """Segments from 3 orthogonal direction families -> recovered axes."""
+    rng = np.random.default_rng(4)
+    axes = np.eye(3)
+    normals, lengths = [], []
+    for ax in axes:
+        # normals perpendicular to this axis (lines pointing at the VP)
+        for _ in range(60):
+            r = rng.normal(size=3)
+            n = r - np.dot(r, ax) * ax
+            n /= np.linalg.norm(n)
+            n += rng.normal(scale=0.01, size=3)
+            n /= np.linalg.norm(n)
+            normals.append(n)
+            lengths.append(rng.uniform(0.1, 0.5))
+    normals = np.array(normals)
+    lengths = np.array(lengths).reshape(-1, 1)
+    scores = np.ones_like(lengths)
+    candi, tri = icosahedron2sphere(3)
+    vp, _, _ = sphere_hough_vote(normals, lengths, scores, 4.0, 2, candi)
+    assert vp is not None
+    # Each recovered direction close to one of the true axes
+    for v in vp:
+        align = np.abs(axes @ v).max()
+        assert align > 0.99, (v, align)
+
+
+GOLDEN_VP = "/root/reference/assets/preprocessed/demo_VP.txt"
+
+
+@pytest.mark.slow
+def test_golden_vp_parity():
+    """Full pipeline on demo.png reproduces the committed VP within 0.5 deg.
+
+    Slow (~20 s): run explicitly with -m slow or by node id.
+    """
+    if not os.path.isfile(GOLDEN_VP):
+        pytest.skip("reference assets not mounted")
+    from PIL import Image
+    from horizonnet_tpu.preprocess import pano_edge_detection
+
+    golden = np.loadtxt(GOLDEN_VP)
+    img = np.array(Image.open("/root/reference/assets/demo.png")
+                   .resize((1024, 512)))
+    result = pano_edge_detection(img)
+    vp = result["vp"][:3]
+    for i in range(3):
+        ang = np.degrees(np.arccos(np.clip(np.abs(np.dot(vp[i], golden[i])),
+                                           -1, 1)))
+        assert ang < 0.5, f"VP row {i} off by {ang:.3f} deg"
