@@ -31,7 +31,7 @@ def main():
     from horizonnet_tpu.models.registry import init_model
     from horizonnet_tpu.inference import InferenceEngine, postprocess
 
-    B = 8
+    B = 32
     H, W = 512, 1024
     model = build_model("resnet50", use_rnn=True, dtype=jnp.bfloat16)
     variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
@@ -74,7 +74,7 @@ def main():
     panos_per_sec = n_batches * B / dt
     print(json.dumps({
         "metric": "end-to-end panos/sec (bf16 resnet50_rnn fwd + cuboid "
-                  "post-proc, batch 8, 512x1024)",
+                  "post-proc, batch 32, 512x1024)",
         "value": round(panos_per_sec, 2),
         "unit": "panos/sec",
         "vs_baseline": round(panos_per_sec / REFERENCE_PANOS_PER_SEC_ESTIMATE,

@@ -68,13 +68,13 @@ def main(argv=None):
     from ..models.registry import init_model
     from ..data import PanoCorBonDataset
     from ..data.dataset import make_training_batch
-    from ..parallel import make_mesh, shard_batch, replicated
-    from ..train import (create_train_state, train_step, eval_losses,
+    from ..parallel import make_mesh
+    from ..train import (create_train_state, eval_losses,
                          warmup_poly_schedule)
     from ..train.step import make_optimizer, encoder_freeze_mask
     from ..train.checkpoint import (save_checkpoint, save_model,
                                     load_trained_model)
-    from ..inference import inference
+    from ..inference import InferenceEngine, postprocess
     from ..evals import test_general, new_general_losses
 
     rng = np.random.default_rng(args.seed)
@@ -121,11 +121,17 @@ def main(argv=None):
                         args.weight_decay, mask)
     state = create_train_state(model, variables, tx)
 
-    # Mesh: pure data parallelism over all local devices
-    mesh = make_mesh()
-    state = jax.tree.map(
-        lambda a: jax.device_put(a, replicated(mesh))
-        if hasattr(a, "dtype") else a, state)
+    # Mesh: pure data parallelism over all local devices. The engine
+    # AOT-compiles the step, lays out the state in the executable's
+    # preferred formats and donates it (see train/engine.py).
+    from ..train.engine import TrainEngine
+    n_dev = len(jax.devices())
+    mesh = make_mesh() if n_dev > 1 else None
+    # Peek one sample for H, W
+    img0, _, _ = dataset_train[0][:3]
+    H, W = img0.shape[:2]
+    engine = TrainEngine(model, state, batch_size=bs_main + bs_aug,
+                         H=H, W=W, mesh=mesh)
 
     try:
         from tensorboardX import SummaryWriter
@@ -136,6 +142,7 @@ def main(argv=None):
     jrng = jax.random.PRNGKey(args.seed)
     best_valid_score = 0.0
     cur_iter = 0
+    valid_engine = None  # built lazily; weights swapped per epoch
 
     for epoch in range(1, args.epochs + 1):
         order = rng.permutation(len(dataset_train))
@@ -150,11 +157,8 @@ def main(argv=None):
                 x = jnp.concatenate([x, xa], 0)
                 y_bon = np.concatenate([y_bon, ba], 0)
                 y_cor = np.concatenate([y_cor, ca], 0)
-            batch = shard_batch(mesh, (jnp.asarray(x),
-                                       jnp.asarray(y_bon),
-                                       jnp.asarray(y_cor)))
             jrng, step_rng = jax.random.split(jrng)
-            state, metrics = train_step(model, state, *batch, step_rng)
+            metrics = engine.step(np.asarray(x), y_bon, y_cor, step_rng)
             cur_iter += 1
             if tb is not None:
                 for k, v in metrics.items():
@@ -162,10 +166,16 @@ def main(argv=None):
                 tb.add_scalar("train/lr", float(schedule(cur_iter)), cur_iter)
 
         # Validation: losses + true metrics via raw-polygon inference
+        state = engine.host_state()
         if dataset_valid is not None:
             valid_loss = {}
             variables_now = {"params": state.params,
                              "batch_stats": state.batch_stats}
+            if valid_engine is None:
+                valid_engine = InferenceEngine(model, variables_now,
+                                               batch_size=1)
+            else:
+                valid_engine.update_variables(variables_now)
             for j in range(len(dataset_valid)):
                 img, y_bon, y_cor, gt_cor = dataset_valid[j]
                 x1 = img[None]
@@ -175,8 +185,10 @@ def main(argv=None):
                 losses = {k: float(v) for k, v in losses.items()}
                 true_eval = new_general_losses()
                 try:
-                    dt_cor_id = inference(model, variables_now, x1,
-                                          force_raw=True)[0][0]
+                    vb, vc = valid_engine(x1)
+                    dt_cor_id, _, _ = postprocess(
+                        np.asarray(vb)[0], np.asarray(vc)[0, 0],
+                        force_raw=True)
                     dt_cor_id = dt_cor_id * [1024, 512]
                 except Exception:
                     dt_cor_id = np.array([

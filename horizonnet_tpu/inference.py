@@ -61,6 +61,18 @@ def _tta_forward_fn(model, flip: bool, rotate: tuple):
     return fn
 
 
+def _format_put(tree, fmt):
+    """device_put a pytree into executable formats, detouring through host
+    for arrays currently sharded across multiple devices (device_put cannot
+    reshard multi-device -> single-device directly)."""
+    def to_host_if_sharded(a):
+        if isinstance(a, jax.Array) and len(a.devices()) > 1:
+            return np.asarray(a)
+        return a
+
+    return jax.device_put(jax.tree.map(to_host_if_sharded, tree), fmt)
+
+
 class InferenceEngine:
     """AOT-compiled, layout-matched serving engine for one config.
 
@@ -95,7 +107,7 @@ class InferenceEngine:
         v_spec = jax.eval_shape(lambda: variables)
         self.compiled = jitted.lower(v_spec, x_spec).compile()
         (v_fmt, x_fmt), _ = self.compiled.input_formats
-        self.variables = jax.device_put(variables, v_fmt)
+        self.variables = _format_put(variables, v_fmt)
         self._x_fmt = x_fmt
         jax.block_until_ready(self.variables)
 
@@ -118,7 +130,7 @@ class InferenceEngine:
         """Swap in new weights (e.g. per validation epoch) without
         recompiling: device-put with the executable's preferred formats."""
         (v_fmt, _), _ = self.compiled.input_formats
-        self.variables = jax.device_put(variables, v_fmt)
+        self.variables = _format_put(variables, v_fmt)
 
 
 _ENGINE_CACHE = {}

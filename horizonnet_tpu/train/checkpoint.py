@@ -26,6 +26,9 @@ _MAGIC = b"HZTPU1\x00\x00"
 
 
 def _write(path, header: dict, payload_tree):
+    # to_state_dict turns optimizer tuples/namedtuples into plain dicts
+    # (msgpack's strict packer rejects tuples)
+    payload_tree = serialization.to_state_dict(payload_tree)
     blob = serialization.msgpack_serialize(
         jax.tree.map(np.asarray, payload_tree))
     head = json.dumps(header).encode()
