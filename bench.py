@@ -51,18 +51,17 @@ def main():
         postprocess(np.asarray(bon[b]), np.asarray(cor[b, 0]), H, W,
                     force_cuboid=True)
 
-    # Pipelined serving loop: upload k+1 and dispatch k before
-    # postprocessing k-1 on host
+    # Pipelined serving loop: upload + dispatch batch k+1 before
+    # postprocessing batch k on host. (A background-thread uploader was
+    # tried and measured WORSE — 3.9 vs 20.9 panos/s — the remote-device
+    # transport serializes transfers against dispatch, so the extra thread
+    # only adds contention.)
     t0 = time.time()
     results = []
-    x_dev = engine.put(batches[0 % len(batches)])
-    pending = engine.run(x_dev)
+    pending = engine.run(engine.put(batches[0 % len(batches)]))
     for k in range(1, n_batches + 1):
-        if k < n_batches:
-            x_next = engine.put(batches[k % len(batches)])
-            nxt = engine.run(x_next)
-        else:
-            nxt = None
+        nxt = (engine.run(engine.put(batches[k % len(batches)]))
+               if k < n_batches else None)
         bon, cor = np.asarray(pending[0]), np.asarray(pending[1])
         for b in range(B):
             results.append(postprocess(bon[b], cor[b, 0], H, W,

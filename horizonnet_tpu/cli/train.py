@@ -158,7 +158,7 @@ def main(argv=None):
                 y_bon = np.concatenate([y_bon, ba], 0)
                 y_cor = np.concatenate([y_cor, ca], 0)
             jrng, step_rng = jax.random.split(jrng)
-            metrics = engine.step(np.asarray(x), y_bon, y_cor, step_rng)
+            metrics = engine.step(x, y_bon, y_cor, step_rng)
             cur_iter += 1
             if tb is not None:
                 for k, v in metrics.items():

@@ -41,7 +41,10 @@ def _stretch_grid(H, W, kx, ky):
 
 
 def _augment_one(img, kx, ky, flip, dx, gamma_p):
-    """img [H,W,3]; scalars kx,ky,gamma_p; flip bool; dx int."""
+    """img [H,W,3] float [0,1] or uint8; scalars kx,ky,gamma_p; flip; dx."""
+    if img.dtype == jnp.uint8:
+        # uint8 crosses the host->device link 4x cheaper; normalize here
+        img = img.astype(jnp.float32) / 255.0
     H, W, _ = img.shape
     refy, refx = _stretch_grid(H, W, kx, ky)
 
@@ -57,7 +60,7 @@ def _augment_one(img, kx, ky, flip, dx, gamma_p):
 
 @jax.jit
 def batched_augment_images(imgs, kx, ky, flip, dx, gamma_p):
-    """imgs [B,H,W,3] float in [0,1]; per-sample param vectors [B]."""
+    """imgs [B,H,W,3] float [0,1] or uint8; per-sample param vectors [B]."""
     return jax.vmap(_augment_one)(imgs, kx, ky, flip, dx, gamma_p)
 
 

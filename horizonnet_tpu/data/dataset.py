@@ -45,11 +45,15 @@ class PanoCorBonDataset:
         return len(self.img_fnames)
 
     def load_raw(self, idx):
-        """Raw sample: (img [H,W,3] float32 in [0,1], cor (2N,2), occ mask)."""
+        """Raw sample: (img [H,W,3] uint8, cor (2N,2), occ mask, path).
+
+        Images stay uint8 until they're on device (4x cheaper transfer);
+        normalization happens inside the augmentation/forward programs.
+        """
         from PIL import Image
 
         img_path = os.path.join(self.img_dir, self.img_fnames[idx])
-        img = np.asarray(Image.open(img_path), np.float32)[..., :3] / 255.0
+        img = np.asarray(Image.open(img_path), np.uint8)[..., :3]
         H, W = img.shape[:2]
 
         with open(os.path.join(self.cor_dir, self.txt_fnames[idx])) as f:
@@ -69,7 +73,7 @@ class PanoCorBonDataset:
         H, W = img.shape[:2]
         bon = cor_2_1d(cor, H, W)
         y_cor = corner_heatmap(cor[~occlusion, 0], W, self.p_base)[None]
-        out = [img, bon.astype(np.float32), y_cor]
+        out = [img.astype(np.float32) / 255.0, bon.astype(np.float32), y_cor]
         if self.return_cor:
             out.append(cor)
         if self.return_path:

@@ -6,6 +6,8 @@ over <= ~32 walls (SURVEY.md §7 hard parts), so it stays on host where it
 costs microseconds.
 """
 
-from .manhattan import vote, gen_ww, gen_ww_cuboid, gen_ww_general
+from .manhattan import (vote, gen_ww, gen_ww_cuboid, gen_ww_general,
+                        get_gpid, get_rot_rad, fuv2img, gpid_two_split)
 
-__all__ = ["vote", "gen_ww", "gen_ww_cuboid", "gen_ww_general"]
+__all__ = ["vote", "gen_ww", "gen_ww_cuboid", "gen_ww_general",
+           "get_gpid", "get_rot_rad", "fuv2img", "gpid_two_split"]

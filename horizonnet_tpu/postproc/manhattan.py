@@ -15,6 +15,90 @@ from ..geometry.equirect import (
 )
 
 
+def fuv2img(fuv, coorW=1024, floorW=1024, floorH=512):
+    """Project a per-column 1D signal onto the top-down floor plane.
+
+    Each floor-plane pixel samples the signal at the column matching its
+    azimuth (linear interpolation, periodic). Ref: misc/post_proc.py:10-19.
+    """
+    fuv = np.asarray(fuv, np.float64)
+    ys, xs = np.meshgrid(np.arange(floorH), np.arange(floorW), indexing="ij")
+    px = -(ys - floorH / 2)
+    py = xs - floorW / 2
+    coridx = (np.arctan2(py, px) / (2 * np.pi) + 0.5) * coorW - 0.5
+    lo = np.floor(coridx).astype(int) % coorW
+    hi = (lo + 1) % coorW
+    w = coridx - np.floor(coridx)
+    return fuv[lo] * (1 - w) + fuv[hi] * w
+
+
+def gpid_two_split(xy, tpid_a, tpid_b):
+    """Best split of a segment into two walls of types a then b.
+
+    Maximizes a cumulative-mean separation score over split points; returns
+    the mean coordinate of each side. Ref: misc/post_proc.py:150-164.
+    """
+    m = np.arange(len(xy)) + 1
+    cum_a = np.cumsum(xy[:, tpid_a])
+    cum_b = np.cumsum(xy[::-1, tpid_b])
+    l1_a = cum_a / m - cum_a / (m * m)
+    l1_b = (cum_b / m - cum_b / (m * m))[::-1]
+    score = l1_a[:-1] + l1_b[1:]
+    best_split = score.argmax() + 1
+    va = xy[:best_split, tpid_a].mean()
+    vb = xy[best_split:, tpid_b].mean()
+    return va, vb
+
+
+def _principal_rot_deg(px, py):
+    """Rotation (deg) folding a principal direction into +-45 of an axis."""
+    if px < 0:
+        px, py = -px, -py
+    rad = np.arctan2(py, px) * 180 / np.pi
+    if rad > 45:
+        return 90 - rad
+    if rad < -45:
+        return -90 - rad
+    return -rad
+
+
+def get_rot_rad(init_coorx, coory, z=50, coorW=1024, coorH=512,
+                floorW=1024, floorH=512, tol=5):
+    """Suggest a global pano rotation aligning walls with the plan axes.
+
+    Per wall segment, the dominant plan direction comes from the 2x2
+    covariance eigenvector (closed form — the reference reaches for
+    sklearn PCA here, misc/post_proc.py:178-202); suggestions cluster
+    within ``tol`` degrees and the densest cluster wins.
+    Returns (column shift dx, rotation degrees).
+    """
+    gpid = get_gpid(init_coorx, coorW)
+    coor = np.stack([np.arange(coorW), np.asarray(coory)], axis=-1)
+    xy = coor2xy(coor, z, coorW, coorH, floorW, floorH)
+
+    suggestions = []
+    for j in range(len(init_coorx)):
+        pts = xy[gpid == j]
+        c = pts - pts.mean(0)
+        cov = c.T @ c
+        w, v = np.linalg.eigh(cov)
+        principal = v[:, np.argmax(w)]
+        suggestions.append(_principal_rot_deg(*principal))
+    suggestions = np.sort(suggestions + [1e9])
+
+    rot = np.mean(suggestions[:-1])
+    best_sz = -1
+    last_j = 0
+    for j in range(1, len(suggestions)):
+        if suggestions[j] - suggestions[j - 1] > tol:
+            last_j = j
+        elif j - last_j > best_sz:
+            rot = suggestions[last_j:j + 1].mean()
+            best_sz = j - last_j
+    dx = int(round(rot * 1024 / 360))
+    return dx, rot
+
+
 def get_gpid(coorx, coorW):
     """Wall-segment id per column, split at corner columns.
 

@@ -71,28 +71,33 @@ def _inside_range(pt, r):
 
 
 def segments_to_lines(arc_list):
-    """(N,10) lifted segments -> (N,8) parameterized lines.
+    """(N,10) lifted segments -> (N,8) parameterized lines (vectorized).
 
     planeID picks the axis the normal is most aligned with (so u is
     well-conditioned). Ref: combineEdgesN's first half, :364-387.
     """
+    from .sphere import xyz2uvN_vec
+
     n = len(arc_list)
     lines = np.zeros((n, 8))
     plane_ids = np.argmax(np.abs(arc_list[:, [2, 0, 1]]), axis=1) + 1
-    for i in range(n):
-        lines[i, :3] = arc_list[i, :3]
-        lines[i, 3] = plane_ids[i]
-        c1, c2 = arc_list[i, 3:6], arc_list[i, 6:9]
-        uv = xyz2uvN(np.stack([c1, c2]), plane_ids[i])
-        umax = uv[:, 0].max() + np.pi
-        umin = uv[:, 0].min() + np.pi
-        if umax - umin > np.pi:
-            lines[i, 4:6] = [umax / (2 * np.pi), umin / (2 * np.pi)]
-        else:
-            lines[i, 4:6] = [umin / (2 * np.pi), umax / (2 * np.pi)]
-        cosang = np.dot(c1, c2) / (np.linalg.norm(c1) * np.linalg.norm(c2))
-        lines[i, 6] = np.arccos(np.clip(cosang, -1, 1))
-        lines[i, 7] = arc_list[i, 9]
+    lines[:, :3] = arc_list[:, :3]
+    lines[:, 3] = plane_ids
+
+    c1 = arc_list[:, 3:6]
+    c2 = arc_list[:, 6:9]
+    uv1 = xyz2uvN_vec(c1, plane_ids)[:, 0] + np.pi
+    uv2 = xyz2uvN_vec(c2, plane_ids)[:, 0] + np.pi
+    umin = np.minimum(uv1, uv2)
+    umax = np.maximum(uv1, uv2)
+    wrap = (umax - umin) > np.pi
+    lines[:, 4] = np.where(wrap, umax, umin) / (2 * np.pi)
+    lines[:, 5] = np.where(wrap, umin, umax) / (2 * np.pi)
+
+    cosang = (c1 * c2).sum(1) / (np.linalg.norm(c1, axis=1) *
+                                 np.linalg.norm(c2, axis=1))
+    lines[:, 6] = np.arccos(np.clip(cosang, -1, 1))
+    lines[:, 7] = arc_list[:, 9]
     return lines
 
 
@@ -181,53 +186,61 @@ def assign_vanishing_type(lines, vp, tol, area=10):
     return tp, cost
 
 
+def _sample_line_arcs(lines, num_sample):
+    """Sample num_sample points along every line's arc. -> xyz [N,S,3]."""
+    from .sphere import computeUVN_batch, uv2xyzN_batch
+
+    sid = lines[:, 4] * 2 * np.pi
+    eid = lines[:, 5] * 2 * np.pi
+    wrap = eid < sid
+    end = np.where(wrap, eid + 2 * np.pi, eid)
+    t = np.linspace(0, 1, num_sample)
+    x = sid[:, None] + (end - sid)[:, None] * t[None, :]
+    x = np.where(wrap[:, None], np.mod(x, 2 * np.pi), x)
+    u = -np.pi + x
+    v = computeUVN_batch(lines[:, :3], u, lines[:, 3])
+    return uv2xyzN_batch(u, v, lines[:, 3])
+
+
 def refit_line_segments(lines, vp, vpweight=0.1):
     """Refit each line's great circle, optionally pulled toward the VP.
 
-    Ref: pano_lsd_align.py:744-774.
+    Vectorized over all lines: per-line scatter matrices built by one
+    einsum, batched 3x3 SVD. Ref behavior: pano_lsd_align.py:744-774.
     """
     num_sample = 100
+    if len(lines) == 0:
+        return lines.copy()
     out = lines.copy()
-    wei = np.ones((num_sample + 1, 1))
-    wei[num_sample] = vpweight * num_sample
-    for i in range(len(lines)):
-        n = lines[i, :3]
-        sid = lines[i, 4] * 2 * np.pi
-        eid = lines[i, 5] * 2 * np.pi
-        if eid < sid:
-            x = np.linspace(sid, eid + 2 * np.pi, num_sample) % (2 * np.pi)
-        else:
-            x = np.linspace(sid, eid, num_sample)
-        u = -np.pi + x.reshape(-1, 1)
-        v = computeUVN(n, u, lines[i, 3])
-        xyz = np.vstack([uv2xyzN(np.hstack([u, v]), lines[i, 3]),
-                         np.asarray(vp).reshape(1, 3)])
-        out[i, :3] = fit_plane_normal(xyz, wei)
+    xyz = _sample_line_arcs(lines, num_sample)          # [N,S,3]
+    xyz = xyz / np.linalg.norm(xyz, axis=-1, keepdims=True)
+    vp = np.asarray(vp, np.float64).reshape(3)
+    vp_unit = vp / np.linalg.norm(vp)
+    # weights: 1 per sample + vpweight*num_sample on the vp point
+    A = np.einsum("nsi,nsj->nij", xyz, xyz)
+    wvp = (vpweight * num_sample) ** 2
+    A = A + wvp * np.outer(vp_unit, vp_unit)[None]
+    _, _, Vh = np.linalg.svd(A)
+    nm = Vh[:, -1, :]
+    out[:, :3] = nm / np.linalg.norm(nm, axis=1, keepdims=True)
     return out
 
 
 def paint_parameter_lines(lines, width, height):
-    """Raster the great-circle arcs onto a pano-sized map.
+    """Raster the great-circle arcs onto a pano-sized map (vectorized).
 
     Ref: pano_lsd_align.py:777-801 (pixel value = line index, as there).
     """
     canvas = np.zeros((height, width))
+    if len(lines) == 0:
+        return canvas
     num_sample = max(height, width)
-    for i in range(len(lines)):
-        n = lines[i, :3]
-        sid = lines[i, 4] * 2 * np.pi
-        eid = lines[i, 5] * 2 * np.pi
-        if eid < sid:
-            x = np.linspace(sid, eid + 2 * np.pi, num_sample) % (2 * np.pi)
-        else:
-            x = np.linspace(sid, eid, num_sample)
-        u = -np.pi + x.reshape(-1, 1)
-        v = computeUVN(n, u, lines[i, 3])
-        xyz = uv2xyzN(np.hstack([u, v]), lines[i, 3])
-        uv = xyz2uvN(xyz, 1)
-        cols = np.minimum(np.floor((uv[:, 0] + np.pi) / (2 * np.pi) * width)
-                          + 1, width).astype(np.int32)
-        rows = np.minimum(np.floor((np.pi / 2 - uv[:, 1]) / np.pi * height)
-                          + 1, height).astype(np.int32)
-        canvas[rows - 1, cols - 1] = i
+    xyz = _sample_line_arcs(lines, num_sample)          # [N,S,3]
+    uv = xyz2uvN(xyz.reshape(-1, 3), 1)
+    cols = np.minimum(np.floor((uv[:, 0] + np.pi) / (2 * np.pi) * width) + 1,
+                      width).astype(np.int32).reshape(len(lines), num_sample)
+    rows = np.minimum(np.floor((np.pi / 2 - uv[:, 1]) / np.pi * height) + 1,
+                      height).astype(np.int32).reshape(len(lines), num_sample)
+    idx = np.broadcast_to(np.arange(len(lines))[:, None], rows.shape)
+    canvas[rows.ravel() - 1, cols.ravel() - 1] = idx.ravel()
     return canvas

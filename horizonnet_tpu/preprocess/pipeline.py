@@ -39,7 +39,8 @@ def draw_segments(shape, segments):
     return canvas
 
 
-def pano_edge_detection(img, view_size=320, q_error=0.7, refine_iter=3):
+def pano_edge_detection(img, view_size=320, q_error=0.7, refine_iter=3,
+                        want_edge_maps=False):
     """img: [H, W, 3] float 0..1 or uint8. Returns a dict with:
 
     lines, vp (6x3: 3 directions + mirrors), views, edges, pano_edge
@@ -68,8 +69,11 @@ def pano_edge_detection(img, view_size=320, q_error=0.7, refine_iter=3):
             seg_list = np.zeros((0, 7))
         pano_lst = lift_segments_to_sphere(
             seg_list, xs[i], ys[i], fov, grays[i].shape)
-        edge_map = draw_segments(grays[i].shape, seg) if len(seg) else \
-            np.zeros(grays[i].shape, np.uint8)
+        # Edge maps are debug artifacts (the pipeline only needs shapes);
+        # raster them only on request
+        edge_map = (draw_segments(grays[i].shape, seg)
+                    if (want_edge_maps and len(seg))
+                    else np.zeros(grays[i].shape, np.uint8))
         edges.append({"img": edge_map, "edgeLst": seg_list, "vx": xs[i],
                       "vy": ys[i], "fov": fov, "panoLst": pano_lst})
         lifted.append(pano_lst)

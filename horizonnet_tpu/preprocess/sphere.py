@@ -99,8 +99,39 @@ def computeUVN_vec(n, u, planeID):
     return np.arctan(-bc / (n[:, [2]] + 1e-9))
 
 
+import functools
+
+
+def computeUVN_batch(n, u, planeID):
+    """Batched great-circle v: n (N,3), u (N,S), planeID (N,) -> v (N,S)."""
+    n = np.asarray(n, np.float64).copy()
+    planeID = np.asarray(planeID).astype(int)
+    m2 = planeID == 2
+    m3 = planeID == 3
+    if m2.any():
+        n[m2] = np.roll(n[m2], 2, axis=1)
+    if m3.any():
+        n[m3] = np.roll(n[m3], 1, axis=1)
+    bc = n[:, [0]] * np.sin(u) + n[:, [1]] * np.cos(u)
+    return np.arctan(-bc / (n[:, [2]] + 1e-9))
+
+
+def uv2xyzN_batch(u, v, planeID):
+    """Batched uv->xyz: u, v (N,S), planeID (N,) -> xyz (N,S,3)."""
+    planeID = np.asarray(planeID).astype(int)
+    N, S = u.shape
+    xyz = np.zeros((N, S, 3))
+    comp = np.stack([np.cos(v) * np.sin(u), np.cos(v) * np.cos(u),
+                     np.sin(v)], axis=-1)  # [N,S,3] in local axis order
+    ids = (np.arange(3)[None, :] + (planeID - 1)[:, None]) % 3  # [N,3]
+    for k in range(3):
+        xyz[np.arange(N), :, ids[:, k]] = comp[:, :, k]
+    return xyz
+
+
+@functools.lru_cache(maxsize=None)
 def icosahedron2sphere(level):
-    """Near-uniform sphere sampling by icosahedron subdivision.
+    """Near-uniform sphere sampling by icosahedron subdivision (cached).
 
     Returns (points (N,3) unit, triangles (M,3) indices).
     Ref behavior: misc/pano_lsd_align.py:439-492.

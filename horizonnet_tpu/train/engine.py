@@ -75,8 +75,15 @@ class TrainEngine:
         jax.block_until_ready(self.state)
 
     def step(self, x, y_bon, y_cor, rng):
-        """Run one training step; returns the metrics dict (device arrays)."""
-        x = jax.device_put(jnp.asarray(x, jnp.float32), self._x_fmt)
+        """Run one training step; returns the metrics dict (device arrays).
+
+        ``x`` may already be a device array (e.g. the output of the
+        on-device augmentation) — it is re-laid-out on device, never
+        round-tripped through host.
+        """
+        if not isinstance(x, jax.Array):
+            x = jnp.asarray(x, jnp.float32)
+        x = jax.device_put(x.astype(jnp.float32), self._x_fmt)
         y_bon = jax.device_put(jnp.asarray(y_bon, jnp.float32), self._yb_fmt)
         y_cor = jax.device_put(jnp.asarray(y_cor, jnp.float32), self._yc_fmt)
         rng = jax.device_put(rng, self._rng_fmt)

@@ -122,3 +122,44 @@ def test_postprocess_force_raw():
     cor_id, z0, z1 = postprocess(bon, y_cor, H, W, force_raw=True)
     assert cor_id.shape == (2 * W, 2)
     assert (cor_id[:, 0] >= 0).all() and (cor_id[:, 0] <= 1).all()
+
+
+def test_fuv2img_constant_and_interp():
+    from horizonnet_tpu.postproc import fuv2img
+    const = fuv2img(np.full(1024, 7.0), floorW=64, floorH=32)
+    assert const.shape == (32, 64)
+    np.testing.assert_allclose(const, 7.0)
+
+
+def test_get_rot_rad_detects_rotation():
+    """A cuboid rotated by 10 deg in plan suggests a ~10 deg correction."""
+    from horizonnet_tpu.postproc import get_rot_rad
+    from horizonnet_tpu.geometry import xy2coor, cor_2_1d
+    th = np.deg2rad(10.0)
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    base = np.array([[-6.0, -4.0], [6.0, -4.0], [6.0, 4.0], [-6.0, 4.0]])
+    pts = base @ R.T + [511.5, 255.5]
+    cor_ceil = xy2coor(pts, 50, 1024, 512)
+    order = np.argsort(cor_ceil[:, 0])
+    cor_ceil = cor_ceil[order]
+    cor = []
+    for c, r in cor_ceil:
+        cor.append([c, r]); cor.append([c, 450.0])
+    bon = cor_2_1d(np.array(cor, np.float32), 512, 1024)
+    coory = (bon[0] / np.pi + 0.5) * 512 - 0.5
+    xs = np.sort(np.round(cor_ceil[:, 0]).astype(int))
+    dx, rot = get_rot_rad(xs, coory, z=50)
+    assert abs(abs(rot) - 10.0) < 2.0, rot
+
+
+def test_gpid_two_split():
+    from horizonnet_tpu.postproc import gpid_two_split
+    # first half on wall x=2, second half on wall y=5
+    xy = np.zeros((20, 2))
+    xy[:10, 0] = 2.0
+    xy[:10, 1] = np.linspace(0, 5, 10)
+    xy[10:, 1] = 5.0
+    xy[10:, 0] = np.linspace(2, 8, 10)
+    va, vb = gpid_two_split(xy, 0, 1)
+    assert abs(va - 2.0) < 0.5
+    assert abs(vb - 5.0) < 0.5
