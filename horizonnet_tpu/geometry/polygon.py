@@ -16,6 +16,8 @@ eval_general.py:66-82). This module owns those capabilities:
 All routines are host-side numpy on tiny inputs (<= ~1024 vertices).
 """
 
+import warnings
+
 import numpy as np
 
 _EPS = 1e-12
@@ -157,12 +159,91 @@ def _fan_triangles(pts):
     return tris, signs
 
 
+def _tri_tri_intersection_areas(tris, clip):
+    """Areas of intersection of many CCW triangles with one CCW triangle.
+
+    tris: [N, 3, 2]; clip: [3, 2]. Vectorized: the intersection of two
+    convex polygons is the convex hull of {vertices of one inside the
+    other} + {edge-pair crossing points}; collect all <= 15 candidate
+    points per pair, order by angle, shoelace.
+    """
+    N = len(tris)
+    if N == 0:
+        return np.zeros(0)
+
+    def edges(poly):
+        return poly, np.roll(poly, -1, axis=-2)
+
+    # Inside tests: point strictly-or-on left of every CCW edge
+    def points_in_tri(pts, tri):
+        # pts [..., K, 2], tri [..., 3, 2] broadcastable
+        a, b = tri, np.roll(tri, -1, axis=-2)
+        ex = (b[..., None, :, 0] - a[..., None, :, 0])
+        ey = (b[..., None, :, 1] - a[..., None, :, 1])
+        px = pts[..., :, None, 0] - a[..., None, :, 0]
+        py = pts[..., :, None, 1] - a[..., None, :, 1]
+        cross = ex * py - ey * px
+        return (cross >= -_EPS).all(-1)
+
+    cand = np.full((N, 15, 2), np.nan)
+    # 1) triangle vertices inside clip
+    m1 = points_in_tri(tris, clip[None])                  # [N, 3]
+    cand[:, 0:3] = np.where(m1[..., None], tris, np.nan)
+    # 2) clip vertices inside triangles
+    m2 = points_in_tri(np.broadcast_to(clip[None], (N, 3, 2)), tris)
+    cand[:, 3:6] = np.where(m2[..., None], clip[None], np.nan)
+    # 3) all 9 edge-pair crossings
+    a0, a1 = edges(tris)                                   # [N,3,2] each
+    b0, b1 = edges(clip)                                   # [3,2]
+    A0 = a0[:, :, None, :]
+    A1 = a1[:, :, None, :]
+    B0 = b0[None, None, :, :]
+    B1 = b1[None, None, :, :]
+    d = A1 - A0
+    e = B1 - B0
+    denom = d[..., 0] * e[..., 1] - d[..., 1] * e[..., 0]  # [N,3,3]
+    f = B0 - A0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (f[..., 0] * e[..., 1] - f[..., 1] * e[..., 0]) / denom
+        s = (f[..., 0] * d[..., 1] - f[..., 1] * d[..., 0]) / denom
+    hit = (np.abs(denom) > _EPS) & (t >= -_EPS) & (t <= 1 + _EPS) \
+        & (s >= -_EPS) & (s <= 1 + _EPS)
+    pt = A0 + t[..., None] * d
+    pt = np.where(hit[..., None], pt, np.nan)
+    cand[:, 6:15] = pt.reshape(N, 9, 2)
+
+    # Order candidates by angle around their mean, shoelace the ring
+    valid = ~np.isnan(cand[..., 0])
+    n_valid = valid.sum(1)
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        ctr = np.nanmean(np.where(valid[..., None], cand, np.nan), axis=1)
+    ang = np.arctan2(cand[..., 1] - ctr[:, None, 1],
+                     cand[..., 0] - ctr[:, None, 0])
+    ang = np.where(valid, ang, np.inf)                     # NaNs sort last
+    order = np.argsort(ang, axis=1)
+    ring = np.take_along_axis(cand, order[..., None], axis=1)
+    ring_valid = np.take_along_axis(valid, order, axis=1)
+    # Close the ring: for shoelace use masked roll — replace invalid slots
+    # with the FIRST valid point so they contribute zero area
+    first = ring[:, 0:1]
+    ringf = np.where(ring_valid[..., None], ring, first)
+    x, y = ringf[..., 0], ringf[..., 1]
+    x2 = np.roll(x, -1, axis=1)
+    y2 = np.roll(y, -1, axis=1)
+    area = 0.5 * np.abs((x * y2 - y * x2).sum(1))
+    area = np.where(n_valid >= 3, area, 0.0)
+    return area
+
+
 def polygon_intersection_area(p, q):
     """Intersection area of two simple polygons (any orientation).
 
     Signed triangle-fan decomposition: 1_P = sum_i s_i * 1_{T_i} holds for a
     simple polygon P oriented CCW, any fan origin. Hence
-    area(P & Q) = sum_ij s_i t_j area(T_i & U_j), each term a convex clip.
+    area(P & Q) = sum_ij s_i t_j area(T_i & U_j); each term is computed by
+    a vectorized convex triangle-triangle clip (all of P's fan triangles
+    against one of Q's at a time).
     """
     p = np.asarray(p, np.float64)
     q = np.asarray(q, np.float64)
@@ -175,16 +256,14 @@ def polygon_intersection_area(p, q):
         q = q[::-1]
     tp, sp = _fan_triangles(p)
     tq, sq = _fan_triangles(q)
+    if not tp or not tq:
+        return 0.0
+    tris = np.stack(tp)                     # [N,3,2], each CCW
+    signs_p = np.asarray(sp)
     total = 0.0
-    for ti, si in zip(tp, sp):
-        # Quick reject on bounding boxes
-        ti_min, ti_max = ti.min(0), ti.max(0)
-        for uj, tj in zip(tq, sq):
-            if (uj.min(0) > ti_max + _EPS).any() or (uj.max(0) < ti_min - _EPS).any():
-                continue
-            a = convex_intersection_area(ti, uj)
-            if a > 0:
-                total += si * tj * a
+    for uj, tj in zip(tq, sq):
+        areas = _tri_tri_intersection_areas(tris, uj)
+        total += tj * float((signs_p * areas).sum())
     return max(total, 0.0)
 
 
