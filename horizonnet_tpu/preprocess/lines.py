@@ -114,15 +114,26 @@ def combine_edges(per_view_lifted):
     ori_lines = segments_to_lines(arc_list)
 
     lines = ori_lines.copy()
+    cos_exact = np.cos(np.pi / 180)
     for _ in range(3):
         n = len(lines)
         valid = np.ones(n, bool)
+        # Candidate prefilter: one |N N^T| at round start with a 5-degree
+        # margin. Normals only drift by merging >1-degree-parallel lines,
+        # so the stale mask is a strict superset of the exact 1-degree
+        # test, which is re-evaluated on current normals below.
+        N0 = lines[:, :3]
+        cand_mask = np.abs(N0 @ N0.T) > np.cos(5 * np.pi / 180)
+        np.fill_diagonal(cand_mask, False)
         for i in range(n):
             if not valid[i]:
                 continue
-            dots = (lines[:, :3] * lines[i, :3]).sum(1)
-            near = (np.abs(dots) > np.cos(np.pi / 180)) & valid
-            near[i] = False
+            cand = np.nonzero(cand_mask[i] & valid)[0]
+            if len(cand) == 0:
+                continue
+            dots = lines[cand, :3] @ lines[i, :3]
+            near = np.zeros(n, bool)
+            near[cand[np.abs(dots) > cos_exact]] = True
             for j in np.nonzero(near)[0]:
                 if not _range_intersects(lines[i, 4:6], lines[j, 4:6]):
                     continue
