@@ -13,8 +13,6 @@ Labels (bon, y_cor, corners) are synthesized on host from the analytically
 transformed corners (data/labels.py) — tiny 1D work.
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

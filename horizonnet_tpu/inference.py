@@ -11,7 +11,6 @@ The greedy Manhattan fit stays on host (tiny, sequential; SURVEY.md §7).
 """
 
 import sys
-from functools import partial
 
 import numpy as np
 import jax

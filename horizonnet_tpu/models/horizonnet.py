@@ -15,10 +15,7 @@ asserted at the CLI boundary, not baked into the graph), bi-LSTM as a
 single fused-matmul scan, optional bf16 compute with f32 params.
 """
 
-from typing import Sequence
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -14,8 +14,6 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from .pad import wrap_pad_width
-
 
 def _interp_matrix(in_w: int, out_w: int) -> np.ndarray:
     """[in_w, out_w] matrix M with out = x @ M (torch align_corners=False)."""

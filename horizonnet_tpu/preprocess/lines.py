@@ -12,7 +12,7 @@ in turns (0..1) in the planeID convention.
 import numpy as np
 
 from .sphere import (xyz2uvN, uv2xyzN, computeUVN, computeUVN_vec,
-                     uv2xyzN_vec, fit_plane_normal)
+                     uv2xyzN_vec)
 
 
 def lift_segments_to_sphere(seg_list, vx, vy, fov, im_hw):

@@ -13,7 +13,7 @@ Adam/SGD (train.py:216-223), AMP autocast (train.py:273). TPU mapping:
 """
 
 from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
