@@ -169,10 +169,12 @@ def torch_state_to_variables(state_dict: Dict[str, np.ndarray], backbone: str,
         gp, gs = {}, {}
         for j in range(4):
             t = f"reduce_height_module.ghc_lst.{i}.layer.{j}.layers"
-            gp[f"c{j}"] = {"conv": sd.conv_b(f"{t}.0")}
             p, s = sd.bn(f"{t}.1")
-            gp[f"c{j}"]["bn"] = p
-            gs[f"c{j}"] = {"bn": s}
+            # ConvCompressH = WrapConv("conv") + BatchNorm("bn"), each
+            # wrapping its flax primitive of the same name
+            gp[f"c{j}"] = {"conv": {"conv": sd.conv_b(f"{t}.0")},
+                           "bn": {"bn": p}}
+            gs[f"c{j}"] = {"bn": {"bn": s}}
         h_p[f"ghc{i}"] = gp
         h_s[f"ghc{i}"] = gs
 
