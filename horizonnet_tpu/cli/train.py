@@ -69,8 +69,7 @@ def main(argv=None):
     from ..data import PanoCorBonDataset
     from ..data.dataset import make_training_batch
     from ..parallel import make_mesh
-    from ..train import (create_train_state, eval_losses,
-                         warmup_poly_schedule)
+    from ..train import create_train_state, warmup_poly_schedule
     from ..train.step import make_optimizer, encoder_freeze_mask
     from ..train.checkpoint import (save_checkpoint, save_model,
                                     load_trained_model)
@@ -176,21 +175,26 @@ def main(argv=None):
                                                batch_size=1)
             else:
                 valid_engine.update_variables(variables_now)
+            eps = 1e-7
             for j in range(len(dataset_valid)):
                 img, y_bon, y_cor, gt_cor = dataset_valid[j]
                 x1 = img[None]
-                losses = eval_losses(model, state, jnp.asarray(x1),
-                                     jnp.asarray(y_bon[None]),
-                                     jnp.asarray(y_cor[None]))
-                losses = {k: float(v) for k, v in losses.items()}
                 true_eval = new_general_losses()
                 try:
                     vb, vc = valid_engine(x1)
-                    dt_cor_id, _, _ = postprocess(
-                        np.asarray(vb)[0], np.asarray(vc)[0, 0],
-                        force_raw=True)
+                    vb = np.asarray(vb)[0]
+                    vp = np.clip(np.asarray(vc)[0], eps, 1 - eps)
+                    # Validation losses from the same forward (the engine
+                    # emits sigmoid probs; BCE from probs == BCE-with-logits)
+                    bon_l = float(np.abs(vb - y_bon).mean())
+                    cor_l = float(-(y_cor * np.log(vp) +
+                                    (1 - y_cor) * np.log(1 - vp)).mean())
+                    losses = {"bon": bon_l, "cor": cor_l,
+                              "total": bon_l + cor_l}
+                    dt_cor_id, _, _ = postprocess(vb, vp[0], force_raw=True)
                     dt_cor_id = dt_cor_id * [1024, 512]
                 except Exception:
+                    losses = {"bon": 0.0, "cor": 0.0, "total": 0.0}
                     dt_cor_id = np.array([
                         [k // 2 * 1024, 256 - ((k % 2) * 2 - 1) * 120]
                         for k in range(8)])

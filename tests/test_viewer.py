@@ -1,0 +1,68 @@
+"""Viewer tests: point lifting, grid triangulation, PLY export."""
+
+import numpy as np
+
+from horizonnet_tpu.geometry import xy2coor
+from horizonnet_tpu.viewer.mesh import (layout_to_points, grid_triangulate,
+                                        layout_to_mesh, write_ply)
+from horizonnet_tpu.viewer.visualize import visualize_a_data
+
+
+def _cuboid_cor():
+    pts = np.array([[-3.0, -2.0], [3.0, -2.0], [3.0, 2.0], [-3.0, 2.0]]) + 0.5
+    floor = xy2coor(pts, -1.6, 1024, 512, floorW=1, floorH=1)
+    ceil = xy2coor(pts, 1.2, 1024, 512, floorW=1, floorH=1)
+    cor = np.zeros((8, 2), np.float32)
+    cor[0::2] = ceil
+    cor[1::2] = floor
+    order = np.argsort(cor[0::2, 0])
+    return cor.reshape(4, 2, 2)[order].reshape(8, 2)
+
+
+def test_layout_to_points_masks():
+    img = np.random.default_rng(0).uniform(0, 1, (512, 1024, 3))
+    xyz, rgb, mask = layout_to_points(_cuboid_cor(), img)
+    assert xyz.shape == (512, 1024, 3)
+    assert mask.all()
+    _, _, mask_nf = layout_to_points(_cuboid_cor(), img, ignore_floor=True)
+    assert mask_nf.sum() < mask.sum()
+    # z-down world as in the reference viewer: floor rows at z = +1.6,
+    # ceiling at -ceil_height
+    assert abs(xyz[-1, :, 2].mean() - 1.6) < 0.05
+    assert xyz[0, :, 2].mean() < -0.5
+
+
+def test_grid_triangulate_wraps_and_counts():
+    mask = np.ones((4, 6), bool)
+    faces = grid_triangulate(mask)
+    # (rows-1) * cols quads incl the wrap column, 2 triangles each
+    assert len(faces) == 3 * 6 * 2
+    assert faces.min() >= 0 and faces.max() < 24
+    mask[1, 2] = False
+    faces2 = grid_triangulate(mask)
+    assert len(faces2) < len(faces)
+
+
+def test_write_ply_roundtrip(tmp_path):
+    img = np.random.default_rng(1).uniform(0, 1, (64, 128, 3))
+    cor = _cuboid_cor() * [128 / 1024, 64 / 512]
+    xyz, rgb, faces = layout_to_mesh(cor, img)
+    path = str(tmp_path / "mesh.ply")
+    write_ply(path, xyz, rgb, faces)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "ply"
+    assert f"element vertex {len(xyz)}" in lines
+    assert f"element face {len(faces)}" in lines
+    # parse one vertex line
+    parts = lines[lines.index("end_header") + 1].split()
+    assert len(parts) == 6
+
+
+def test_visualize_a_data_strip():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (64, 128, 3)).astype(np.float32)
+    y_bon = np.stack([np.full(128, -0.5), np.full(128, 0.5)])
+    y_cor = rng.uniform(0, 1, 128)
+    out = visualize_a_data(x, y_bon, y_cor)
+    assert out.shape == (64 + 33, 128, 3)
+    assert out.dtype == np.uint8
