@@ -23,6 +23,14 @@ import numpy as np
 REFERENCE_PANOS_PER_SEC_ESTIMATE = 20.0
 
 
+def _postprocess_batch(bon, cor, H, W):
+    """Worker-process job: Manhattan-fit one batch of raw outputs."""
+    from horizonnet_tpu.inference import postprocess
+
+    return [postprocess(bon[b], cor[b, 0], H, W, force_cuboid=True)
+            for b in range(len(bon))]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -52,22 +60,29 @@ def main():
                     force_cuboid=True)
 
     # Pipelined serving loop: upload + dispatch batch k+1 before
-    # postprocessing batch k on host. (A background-thread uploader was
-    # tried and measured WORSE — 3.9 vs 20.9 panos/s — the remote-device
-    # transport serializes transfers against dispatch, so the extra thread
-    # only adds contention.)
+    # postprocessing batch k. Postprocessing fans out to worker processes
+    # so the host CPU isn't on the device-feed critical path. (A
+    # background-thread UPLOADER was tried and measured WORSE — 3.9 vs
+    # 20.9 panos/s — the remote-device transport serializes transfers
+    # against dispatch; process workers only touch the small outputs.)
+    import multiprocessing
+    from concurrent.futures import ProcessPoolExecutor
+    # spawn: forking after the TPU client initialized would duplicate its
+    # transport state into the workers
+    pool = ProcessPoolExecutor(4, mp_context=multiprocessing.get_context("spawn"))
+    futures = []
+
     t0 = time.time()
-    results = []
     pending = engine.run(engine.put(batches[0 % len(batches)]))
     for k in range(1, n_batches + 1):
         nxt = (engine.run(engine.put(batches[k % len(batches)]))
                if k < n_batches else None)
         bon, cor = np.asarray(pending[0]), np.asarray(pending[1])
-        for b in range(B):
-            results.append(postprocess(bon[b], cor[b, 0], H, W,
-                                       force_cuboid=True))
+        futures.append(pool.submit(_postprocess_batch, bon, cor, H, W))
         pending = nxt
+    results = [r for f in futures for r in f.result()]
     dt = time.time() - t0
+    pool.shutdown()
     assert len(results) == n_batches * B
 
     panos_per_sec = n_batches * B / dt

@@ -1,0 +1,39 @@
+"""Full-forward numeric parity: torch replica -> converter -> flax model.
+
+The strongest offline parity check available without the published weights:
+a random-weight torch model with the reference's exact architecture and
+checkpoint key layout must produce the same bon/cor as the flax model fed
+through models.torch_convert. Covers conv/BN/maxpool/height-resize/LSTM/
+head wiring end to end.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from tests.torch_replica import TorchHorizonNetReplica, small_init_  # noqa: E402
+from horizonnet_tpu.models import build_model  # noqa: E402
+from horizonnet_tpu.models.torch_convert import torch_state_to_variables  # noqa: E402
+
+
+@pytest.mark.slow
+def test_full_forward_parity_resnet50():
+    torch.manual_seed(0)
+    replica = small_init_(TorchHorizonNetReplica()).eval()
+    x = np.random.default_rng(0).uniform(0, 1, (1, 512, 1024, 3)) \
+        .astype(np.float32)
+
+    with torch.no_grad():
+        bon_t, cor_t = replica(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    sd = {k: v.detach().numpy() for k, v in replica.state_dict().items()}
+    variables = torch_state_to_variables(sd, "resnet50", use_rnn=True)
+    model = build_model("resnet50", use_rnn=True)
+    bon_j, cor_j = model.apply(variables, jnp.asarray(x), train=False)
+
+    np.testing.assert_allclose(np.asarray(bon_j), bon_t.numpy(),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cor_j), cor_t.numpy(),
+                               rtol=1e-3, atol=2e-4)
