@@ -15,12 +15,23 @@ one pano per step with host round-trips). BASELINE.json's north star is
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# Ensure the package resolves in this process AND in spawned postproc
+# workers regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 REFERENCE_PANOS_PER_SEC_ESTIMATE = 20.0
+
+
+def _warm_worker():
+    """Import the package in the spawned worker (off the timed path)."""
+    import horizonnet_tpu.inference  # noqa: F401
+    return True
 
 
 def _postprocess_batch(bon, cor, H, W):
@@ -71,6 +82,11 @@ def main():
     # transport state into the workers
     pool = ProcessPoolExecutor(4, mp_context=multiprocessing.get_context("spawn"))
     futures = []
+    # Warm the workers before the timed region (spawned processes import
+    # the package on first use)
+    dummy = [pool.submit(_warm_worker) for _ in range(4)]
+    for d in dummy:
+        d.result()
 
     t0 = time.time()
     pending = engine.run(engine.put(batches[0 % len(batches)]))

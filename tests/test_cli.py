@@ -1,0 +1,93 @@
+"""CLI smoke tests: argument surfaces and end-to-end file IO on tiny data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from horizonnet_tpu.geometry import xy2coor
+
+
+def _write_pair(tmp_path, name="room"):
+    """One synthetic (json dt, txt gt) pair for the eval CLIs."""
+    pts = np.array([[-3.0, -2.0], [3.0, -2.0], [3.0, 2.0], [-3.0, 2.0]]) + 0.5
+    floor = xy2coor(pts, -1.6, 1024, 512, floorW=1, floorH=1)
+    ceil = xy2coor(pts, 1.2, 1024, 512, floorW=1, floorH=1)
+    cor = np.zeros((8, 2), np.float32)
+    cor[0::2] = ceil
+    cor[1::2] = floor
+    order = np.argsort(cor[0::2, 0])
+    cor = cor.reshape(4, 2, 2)[order].reshape(8, 2)
+
+    gt_dir = tmp_path / "gt"
+    dt_dir = tmp_path / "dt"
+    gt_dir.mkdir(exist_ok=True)
+    dt_dir.mkdir(exist_ok=True)
+    with open(gt_dir / f"{name}.txt", "w") as f:
+        for x, y in cor:
+            f.write(f"{x:.2f} {y:.2f}\n")
+    with open(dt_dir / f"{name}.json", "w") as f:
+        json.dump({"z0": 50.0, "z1": -1.6 * 50 / 1.2,
+                   "uv": [[float(x) / 1024, float(y) / 512]
+                          for x, y in cor]}, f)
+    return str(gt_dir / "*.txt"), str(dt_dir / "*.json")
+
+
+def test_eval_general_cli(tmp_path, capsys):
+    from horizonnet_tpu.cli.eval_general import main
+    gt_glob, dt_glob = _write_pair(tmp_path)
+    assert main(["--dt_glob", dt_glob, "--gt_glob", gt_glob]) == 0
+    out = capsys.readouterr().out
+    assert "2DIoU  : 100.00" in out
+    assert "3DIoU  : 100.00" in out
+
+
+def test_eval_cuboid_cli(tmp_path, capsys):
+    from horizonnet_tpu.cli.eval_cuboid import main
+    gt_glob, dt_glob = _write_pair(tmp_path)
+    assert main(["--dt_glob", dt_glob, "--gt_glob", gt_glob]) == 0
+    out = capsys.readouterr().out
+    assert "Corner Error" in out and "3DIoU" in out
+
+
+def test_layout_viewer_cli(tmp_path):
+    from PIL import Image
+    from horizonnet_tpu.cli.layout_viewer import main
+    gt_glob, dt_glob = _write_pair(tmp_path)
+    img_path = str(tmp_path / "pano.png")
+    Image.fromarray(np.zeros((512, 1024, 3), np.uint8)).save(img_path)
+    out_path = str(tmp_path / "mesh.ply")
+    dt_json = dt_glob.replace("*.json", "room.json")
+    assert main(["--img", img_path, "--layout", dt_json,
+                 "--out", out_path]) == 0
+    assert os.path.getsize(out_path) > 1000
+
+
+def test_inference_cli_tiny(tmp_path):
+    """Full CLI: save a checkpoint, run inference on a tiny pano dir."""
+    from PIL import Image
+    from horizonnet_tpu.models import build_model
+    from horizonnet_tpu.models.registry import init_model
+    from horizonnet_tpu.train.checkpoint import save_model
+    from horizonnet_tpu.cli.inference import main
+
+    model = build_model("resnet18", use_rnn=True)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, 512, 128, 3))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_model(ckpt, variables, "resnet18", True)
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    # CLI resizes anything to 1024x512; feed a small image
+    Image.fromarray(rng.integers(0, 255, (64, 128, 3), dtype=np.uint8)
+                    .astype(np.uint8)).save(str(img_dir / "a.png"))
+    out_dir = str(tmp_path / "out")
+    assert main(["--pth", ckpt, "--img_glob", str(img_dir / "*.png"),
+                 "--output_dir", out_dir, "--force_cuboid"]) == 0
+    with open(os.path.join(out_dir, "a.json")) as f:
+        dt = json.load(f)
+    assert dt["z0"] == 50.0
+    assert len(dt["uv"]) == 8
