@@ -80,3 +80,31 @@ def test_wrap_conv_seam_equivariance():
     bon2, _ = model.apply(variables, x_rolled, train=False)
     np.testing.assert_allclose(np.array(jnp.roll(bon1, 64, axis=-1)),
                                np.array(bon2), atol=1e-5)
+
+
+def test_densenet121_forward():
+    model = build_model("densenet121", use_rnn=False)
+    variables = init_model(model, jax.random.PRNGKey(5), (1, 128, 256, 3))
+    bon, cor = model.apply(variables, jnp.zeros((1, 128, 256, 3)), train=False)
+    assert bon.shape == (1, 2, 256)
+    assert np.isfinite(np.array(bon)).all()
+
+
+def test_resnext50_forward():
+    model = build_model("resnext50_32x4d", use_rnn=False)
+    variables = init_model(model, jax.random.PRNGKey(6), (1, 64, 128, 3))
+    bon, cor = model.apply(variables, jnp.zeros((1, 64, 128, 3)), train=False)
+    assert bon.shape == (1, 2, 128)
+    assert np.isfinite(np.array(bon)).all()
+
+
+def test_train_mode_updates_bn_stats():
+    model = build_model("resnet18", use_rnn=False)
+    variables = init_model(model, jax.random.PRNGKey(7), (1, 64, 128, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(8), (2, 64, 128, 3))
+    out, mutated = model.apply(variables, x, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(9)},
+                               mutable=["batch_stats"])
+    before = variables["batch_stats"]["encoder"]["bn1"]["bn"]["mean"]
+    after = mutated["batch_stats"]["encoder"]["bn1"]["bn"]["mean"]
+    assert not np.allclose(np.array(before), np.array(after))
