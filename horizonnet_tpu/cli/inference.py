@@ -32,6 +32,8 @@ def main(argv=None):
     parser.add_argument("--force_raw", action="store_true")
     parser.add_argument("--batch_size", default=4, type=int,
                         help="panos per device step")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute for the forward pass")
     args = parser.parse_args(argv)
 
     from PIL import Image
@@ -45,6 +47,11 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     model, variables = load_trained_model(args.pth)
+    if args.bf16:
+        import jax.numpy as jnp
+        from ..models import build_model
+        model = build_model(model.backbone, model.use_rnn,
+                            dtype=jnp.bfloat16, seam_pool=model.seam_pool)
 
     def load(path):
         img = Image.open(path)
