@@ -48,6 +48,10 @@ def build_argparser():
     parser.add_argument("--warmup_epochs", default=0, type=int)
     parser.add_argument("--beta1", default=0.9, type=float)
     parser.add_argument("--weight_decay", default=0, type=float)
+    parser.add_argument("--bn_momentum", default=None, type=float,
+                        help="override BatchNorm running-stat momentum")
+    parser.add_argument("--num_workers", default=2, type=int,
+                        help="batch-prefetch worker threads (0 = sync)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (f32 params)")
     parser.add_argument("--seed", default=594277, type=int)
@@ -96,7 +100,9 @@ def main(argv=None):
         model, variables = load_trained_model(args.pth)
     else:
         model = build_model(args.backbone, not args.no_rnn, dtype=dtype,
-                            seam_pool=args.seam_pool)
+                            seam_pool=args.seam_pool,
+                            bn_momentum=(args.bn_momentum
+                                         if args.bn_momentum else 0.1))
         variables = init_model(model, jax.random.PRNGKey(args.seed))
 
     # Effective batch splits when an aug dataset is present. The reference
@@ -143,19 +149,37 @@ def main(argv=None):
     cur_iter = 0
     valid_engine = None  # built lazily; weights swapped per epoch
 
+    from concurrent.futures import ThreadPoolExecutor
+    prefetch = (ThreadPoolExecutor(args.num_workers)
+                if args.num_workers > 0 else None)
+
+    def build_batch(epoch_order, aug_epoch_order, it):
+        idx = epoch_order[it * bs_main:(it + 1) * bs_main]
+        x, y_bon, y_cor = make_training_batch(dataset_train, idx, rng)
+        if dataset_aug is not None:
+            a_idx = aug_epoch_order[(it * bs_aug) % len(dataset_aug):][:bs_aug]
+            xa, ba, ca = make_training_batch(dataset_aug, a_idx, rng)
+            x = jnp.concatenate([x, xa], 0)
+            y_bon = np.concatenate([y_bon, ba], 0)
+            y_cor = np.concatenate([y_cor, ca], 0)
+        return x, y_bon, y_cor
+
     for epoch in range(1, args.epochs + 1):
         order = rng.permutation(len(dataset_train))
-        if dataset_aug is not None:
-            aug_order = rng.permutation(len(dataset_aug))
+        aug_order = (rng.permutation(len(dataset_aug))
+                     if dataset_aug is not None else None)
+        # Prefetch: the next batch's host IO + label synthesis + device
+        # augmentation run while the current step trains
+        nxt = (prefetch.submit(build_batch, order, aug_order, 0)
+               if prefetch else None)
         for it in range(steps_per_epoch):
-            idx = order[it * bs_main:(it + 1) * bs_main]
-            x, y_bon, y_cor = make_training_batch(dataset_train, idx, rng)
-            if dataset_aug is not None:
-                a_idx = aug_order[(it * bs_aug) % len(dataset_aug):][:bs_aug]
-                xa, ba, ca = make_training_batch(dataset_aug, a_idx, rng)
-                x = jnp.concatenate([x, xa], 0)
-                y_bon = np.concatenate([y_bon, ba], 0)
-                y_cor = np.concatenate([y_cor, ca], 0)
+            if prefetch:
+                x, y_bon, y_cor = nxt.result()
+                if it + 1 < steps_per_epoch:
+                    nxt = prefetch.submit(build_batch, order, aug_order,
+                                          it + 1)
+            else:
+                x, y_bon, y_cor = build_batch(order, aug_order, it)
             jrng, step_rng = jax.random.split(jrng)
             metrics = engine.step(x, y_bon, y_cor, step_rng)
             cur_iter += 1

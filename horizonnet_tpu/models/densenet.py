@@ -27,14 +27,15 @@ _BN_SIZE = 4
 class DenseLayer(nn.Module):
     growth_rate: int
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = BatchNorm(dtype=self.dtype, name="norm1")(x, train)
+        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="norm1")(x, train)
         out = nn.relu(out)
         out = WrapConv(_BN_SIZE * self.growth_rate, (1, 1),
                        dtype=self.dtype, name="conv1")(out)
-        out = BatchNorm(dtype=self.dtype, name="norm2")(out, train)
+        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="norm2")(out, train)
         out = nn.relu(out)
         out = WrapConv(self.growth_rate, (3, 3), (1, 1), (1, 1),
                        dtype=self.dtype, name="conv2")(out)
@@ -47,13 +48,14 @@ class DenseNetEncoder(nn.Module):
     backbone: str = "densenet121"
     dtype: jnp.dtype = jnp.float32
     seam_pool: bool = False
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         growth, blocks, init_feat = _DENSENET_SPECS[self.backbone]
         x = WrapConv(init_feat, (7, 7), (2, 2), (3, 3),
                      dtype=self.dtype, name="conv0")(x)
-        x = BatchNorm(dtype=self.dtype, name="norm0")(x, train)
+        x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="norm0")(x, train)
         x = nn.relu(x)
         x = max_pool_same_as_torch(x, 3, 2, 1, wrap_width=self.seam_pool)
 
@@ -61,18 +63,18 @@ class DenseNetEncoder(nn.Module):
         n_ch = init_feat
         for bi, n_layers in enumerate(blocks):
             for li in range(n_layers):
-                x = DenseLayer(growth, self.dtype,
+                x = DenseLayer(growth, self.dtype, self.bn_momentum,
                                name=f"denseblock{bi+1}_layer{li+1}")(x, train)
             n_ch += n_layers * growth
             if bi < len(blocks) - 1:
                 feats.append(x)  # raw dense-block output, pre-transition
-                x = BatchNorm(dtype=self.dtype, name=f"transition{bi+1}_norm")(x, train)
+                x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name=f"transition{bi+1}_norm")(x, train)
                 x = nn.relu(x)
                 n_ch = n_ch // 2
                 x = WrapConv(n_ch, (1, 1), dtype=self.dtype,
                              name=f"transition{bi+1}_conv")(x)
                 x = avg_pool_2x2(x)
-        x = BatchNorm(dtype=self.dtype, name="norm5")(x, train)
+        x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="norm5")(x, train)
         feats = [feats[0], feats[1], feats[2], nn.relu(x)]
         return feats
 

@@ -22,6 +22,7 @@ class ConvCompressH(nn.Module):
     out_c: int
     ks: int = 3
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -29,7 +30,7 @@ class ConvCompressH(nn.Module):
         p = self.ks // 2
         x = WrapConv(self.out_c, (self.ks, self.ks), (2, 1), (p, p),
                      use_bias=True, dtype=self.dtype, name="conv")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
+        x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn")(x, train)
         return nn.relu(x)
 
 
@@ -39,13 +40,18 @@ class GlobalHeightConv(nn.Module):
     in_c: int
     out_c: int
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, out_w: int, train: bool = False):
-        x = ConvCompressH(self.in_c // 2, dtype=self.dtype, name="c0")(x, train)
-        x = ConvCompressH(self.in_c // 2, dtype=self.dtype, name="c1")(x, train)
-        x = ConvCompressH(self.in_c // 4, dtype=self.dtype, name="c2")(x, train)
-        x = ConvCompressH(self.out_c, dtype=self.dtype, name="c3")(x, train)
+        x = ConvCompressH(self.in_c // 2, dtype=self.dtype,
+                          bn_momentum=self.bn_momentum, name="c0")(x, train)
+        x = ConvCompressH(self.in_c // 2, dtype=self.dtype,
+                          bn_momentum=self.bn_momentum, name="c1")(x, train)
+        x = ConvCompressH(self.in_c // 4, dtype=self.dtype,
+                          bn_momentum=self.bn_momentum, name="c2")(x, train)
+        x = ConvCompressH(self.out_c, dtype=self.dtype,
+                          bn_momentum=self.bn_momentum, name="c3")(x, train)
         # Resize width in NHWC (MXU matmul over axis 2), then lay out as
         # [B, C, H', out_w] for the channel-major column flatten the
         # reference uses (model.py:175-178)
@@ -59,6 +65,7 @@ class GlobalHeightStage(nn.Module):
     channels: Sequence[int]      # (c1, c2, c3, c4)
     out_scale: int = 8
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, feats, out_w: int, train: bool = False):
@@ -67,6 +74,7 @@ class GlobalHeightStage(nn.Module):
         cols = []
         for i, (f, c) in enumerate(zip(feats, self.channels)):
             y = GlobalHeightConv(c, c // self.out_scale, dtype=self.dtype,
+                                 bn_momentum=self.bn_momentum,
                                  name=f"ghc{i}")(f, out_w, train)
             # [B, C, H', out_w] -> flatten channel*height per column
             cols.append(y.reshape(bs, -1, out_w))

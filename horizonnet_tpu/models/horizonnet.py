@@ -79,6 +79,7 @@ class HorizonNet(nn.Module):
     step_cols: int = 4
     rnn_hidden_size: int = 512
     seam_pool: bool = False   # wrap-padded maxpool: exact seam equivariance
+    bn_momentum: float = 0.1  # torch semantics (--bn_momentum override)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -90,17 +91,18 @@ class HorizonNet(nn.Module):
 
         if self.backbone.startswith("res"):
             feats = ResNetEncoder(self.backbone, self.dtype, self.seam_pool,
-                                  name="encoder")(x, train)
+                                  self.bn_momentum, name="encoder")(x, train)
             channels = resnet_feature_channels(self.backbone)
         elif self.backbone.startswith("dense"):
             feats = DenseNetEncoder(self.backbone, self.dtype, self.seam_pool,
-                                    name="encoder")(x, train)
+                                    self.bn_momentum, name="encoder")(x, train)
             channels = densenet_feature_channels(self.backbone)
         else:
             raise NotImplementedError(self.backbone)
 
         out_w = W // self.step_cols
         feature = GlobalHeightStage(channels, self.out_scale, self.dtype,
+                                    self.bn_momentum,
                                     name="height")(feats, out_w, train)
         # feature: [B, c_last, out_w]
 

@@ -21,21 +21,22 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         out = WrapConv(self.planes, (3, 3), (self.stride, self.stride), (1, 1),
                        dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
+        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         out = WrapConv(self.planes, (3, 3), (1, 1), (1, 1),
                        dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(dtype=self.dtype, name="bn2")(out, train)
+        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn2")(out, train)
         if self.downsample:
             identity = WrapConv(self.planes, (1, 1), (self.stride, self.stride),
                                 (0, 0), dtype=self.dtype, name="downsample_conv")(x)
-            identity = BatchNorm(dtype=self.dtype, name="downsample_bn")(identity, train)
+            identity = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -46,25 +47,26 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
         out = WrapConv(width, (1, 1), dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
+        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         out = WrapConv(width, (3, 3), (self.stride, self.stride), (1, 1),
                        groups=self.groups, dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(dtype=self.dtype, name="bn2")(out, train)
+        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn2")(out, train)
         out = nn.relu(out)
         out = WrapConv(self.planes * 4, (1, 1), dtype=self.dtype, name="conv3")(out)
-        out = BatchNorm(dtype=self.dtype, name="bn3")(out, train)
+        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn3")(out, train)
         if self.downsample:
             identity = WrapConv(self.planes * 4, (1, 1),
                                 (self.stride, self.stride), (0, 0),
                                 dtype=self.dtype, name="downsample_conv")(x)
-            identity = BatchNorm(dtype=self.dtype, name="downsample_bn")(identity, train)
+            identity = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -86,12 +88,13 @@ class ResNetEncoder(nn.Module):
     backbone: str = "resnet50"
     dtype: jnp.dtype = jnp.float32
     seam_pool: bool = False  # wrap-pad the maxpool (exact seam equivariance)
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         block, layers, groups, base_width = _RESNET_SPECS[self.backbone]
         x = WrapConv(64, (7, 7), (2, 2), (3, 3), dtype=self.dtype, name="conv1")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn1")(x, train)
+        x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool_same_as_torch(x, 3, 2, 1, wrap_width=self.seam_pool)
 
@@ -104,10 +107,12 @@ class ResNetEncoder(nn.Module):
                 if block is Bottleneck:
                     need_ds = bi == 0 and (s != 1 or li == 0)
                     x = Bottleneck(planes, s, need_ds, groups, base_width,
-                                   self.dtype, name=f"layer{li+1}_{bi}")(x, train)
+                                   self.dtype, self.bn_momentum,
+                                   name=f"layer{li+1}_{bi}")(x, train)
                 else:
                     need_ds = bi == 0 and s != 1
                     x = BasicBlock(planes, s, need_ds, self.dtype,
+                                   self.bn_momentum,
                                    name=f"layer{li+1}_{bi}")(x, train)
             feats.append(x)
             planes *= 2
