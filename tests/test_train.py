@@ -155,3 +155,26 @@ def test_freeze_mask_blocks():
     assert not jax.tree.leaves(mask["encoder"]["layer1_0"])[0]
     assert jax.tree.leaves(mask["encoder"]["layer2_0"])[0]
     assert jax.tree.leaves(mask["height"])[0]
+
+
+def test_orbax_checkpoint_roundtrip(tiny_setup, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from horizonnet_tpu.train.orbax_io import (save_checkpoint_orbax,
+                                               load_checkpoint_orbax)
+    model, variables, state = tiny_setup
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 128, 3)), jnp.float32)
+    yb = jnp.asarray(rng.normal(0, 0.3, (1, 2, 128)), jnp.float32)
+    yc = jnp.asarray(rng.uniform(0, 1, (1, 1, 128)), jnp.float32)
+    state1, _ = train_step(model, state, x, yb, yc, jax.random.PRNGKey(0))
+
+    path = save_checkpoint_orbax(str(tmp_path), state1, "resnet18", True,
+                                 epoch=3, best_valid_score=0.7)
+    fresh = create_train_state(model, jax.tree.map(jnp.asarray, variables),
+                               state.tx)
+    restored, meta = load_checkpoint_orbax(path, fresh)
+    assert meta["epoch"] == 3
+    assert meta["kwargs"]["backbone"] == "resnet18"
+    assert int(restored.step) == 1
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state1.params, restored.params)
