@@ -34,6 +34,9 @@ def main(argv=None):
                         help="panos per device step")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the forward pass")
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler trace of the serving "
+                             "loop to this directory")
     args = parser.parse_args(argv)
 
     from PIL import Image
@@ -52,6 +55,25 @@ def main(argv=None):
         from ..models import build_model
         model = build_model(model.backbone, model.use_rnn,
                             dtype=jnp.bfloat16, seam_pool=model.seam_pool)
+
+    import contextlib
+    if args.profile_dir:
+        import jax
+        profile_cm = jax.profiler.trace(args.profile_dir)
+    else:
+        profile_cm = contextlib.nullcontext()
+
+    with profile_cm:
+        _serve(paths, args, model, variables)
+    return 0
+
+
+def _serve(paths, args, model, variables):
+    import json
+    import os
+    from PIL import Image
+    from ..inference import inference
+    import numpy as np
 
     def load(path):
         img = Image.open(path)
@@ -80,7 +102,6 @@ def main(argv=None):
                                             Image.LANCZOS).save(
                     os.path.join(args.output_dir, k + ".raw.png"))
             print(k, flush=True)
-    return 0
 
 
 if __name__ == "__main__":

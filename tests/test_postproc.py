@@ -163,3 +163,34 @@ def test_gpid_two_split():
     va, vb = gpid_two_split(xy, 0, 1)
     assert abs(va - 2.0) < 0.5
     assert abs(vb - 5.0) < 0.5
+
+
+def test_vote_matches_scipy_literal():
+    """vote() must match a literal scipy squareform(pdist)+1e-9 recompute."""
+    import pytest
+    scipy_sd = pytest.importorskip("scipy.spatial.distance")
+
+    def scipy_vote(vec, tol):
+        vec = np.sort(np.asarray(vec, np.float64))
+        n = np.arange(len(vec))[::-1]
+        n = n[:, None] - n[None, :] + 1.0
+        l = scipy_sd.squareform(
+            scipy_sd.pdist(vec[:, None], "minkowski", p=1) + 1e-9)
+        invalid = (n < len(vec) * 0.4) | (l > tol)
+        if (~invalid).sum() == 0 or len(vec) < tol:
+            return np.median(vec), 0
+        score = np.where(invalid, -1, n)
+        mi = score.argmax()
+        r, c = mi // len(vec), mi % len(vec)
+        return vec[r:c + 1].mean(), (c - r + 1) / len(vec)
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        m = rng.integers(3, 40)
+        vec = np.concatenate([rng.normal(10, 0.5, m),
+                              rng.uniform(0, 50, rng.integers(0, 5))])
+        tol = rng.uniform(0.5, 8)
+        b1, s1, _ = vote(vec.copy(), tol)
+        b2, s2 = scipy_vote(vec.copy(), tol)
+        assert b1 == pytest.approx(b2, rel=1e-12), (vec, tol)
+        assert s1 == pytest.approx(s2, rel=1e-12)
