@@ -37,3 +37,30 @@ def test_full_forward_parity_resnet50():
                                rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(cor_j), cor_t.numpy(),
                                rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_reference_pth_file_loads_end_to_end(tmp_path):
+    """A real torch-saved checkpoint in the reference's save_model format
+    ({args, kwargs, state_dict}, misc/utils.py:49-58) loads through
+    train.checkpoint.load_trained_model and runs."""
+    from horizonnet_tpu.train.checkpoint import load_trained_model
+
+    torch.manual_seed(1)
+    replica = small_init_(TorchHorizonNetReplica()).eval()
+    path = str(tmp_path / "ref_style.pth")
+    torch.save({
+        "args": {"id": "test"},
+        "kwargs": {"backbone": "resnet50", "use_rnn": True},
+        "state_dict": replica.state_dict(),
+    }, path)
+
+    model, variables = load_trained_model(path)
+    assert model.backbone == "resnet50" and model.use_rnn
+    x = np.random.default_rng(1).uniform(0, 1, (1, 512, 128, 3)) \
+        .astype(np.float32)
+    bon, cor = model.apply(variables, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        bon_t, _ = replica(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(bon), bon_t.numpy(),
+                               rtol=1e-3, atol=2e-4)
