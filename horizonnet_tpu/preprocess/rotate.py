@@ -35,8 +35,12 @@ def rotate_panorama(img, vp=None, R=None):
         y = jnp.cos(v) * jnp.cos(u)
         z = jnp.sin(v)
         xyz = jnp.stack([x, y, z], -1)            # [H, W, 3]
-        # old = Rinv @ new per pixel (row-vector form: xyz @ Rinv^T)
-        old = jnp.einsum("hwc,dc->hwd", xyz, Rinv.astype(jnp.float32))
+        # old = Rinv @ new per pixel (row-vector form: xyz @ Rinv^T).
+        # HIGHEST precision: the default matmul path truncates f32 operands
+        # to bf16 passes, which costs ~0.3px of warp coordinate accuracy
+        from jax import lax
+        old = jnp.einsum("hwc,dc->hwd", xyz, Rinv.astype(jnp.float32),
+                         precision=lax.Precision.HIGHEST)
         ox, oy, oz = old[..., 0], old[..., 1], old[..., 2]
         norm_xy = jnp.maximum(jnp.sqrt(ox ** 2 + oy ** 2), 1e-6)
         norm = jnp.sqrt(ox ** 2 + oy ** 2 + oz ** 2)

@@ -156,3 +156,44 @@ def test_golden_vp_parity():
         ang = np.degrees(np.arccos(np.clip(np.abs(np.dot(vp[i], golden[i])),
                                            -1, 1)))
         assert ang < 0.5, f"VP row {i} off by {ang:.3f} deg"
+
+
+def test_rotate_panorama_identity_and_inverse():
+    from horizonnet_tpu.preprocess import rotate_panorama
+    rng = np.random.default_rng(9)
+    noise = rng.uniform(0, 1, (64, 128, 3)).astype(np.float32)
+    # Identity rotation reproduces the image (bilinear exact at centers)
+    same = rotate_panorama(noise, R=np.eye(3))
+    np.testing.assert_allclose(same, noise, atol=5e-4)
+    # Rotate by R then R^-1 on a SMOOTH image (double bilinear resampling
+    # of white noise would legitimately smear; smooth content round-trips)
+    ys, xs = np.meshgrid(np.linspace(0, 4, 64), np.linspace(0, 8, 128),
+                         indexing="ij")
+    img = np.stack([np.sin(xs) * np.cos(ys),
+                    np.cos(xs), np.sin(ys)], -1).astype(np.float32)
+    img = (img + 1) / 2
+    th = np.deg2rad(20)
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0],
+                  [0, 0, 1]])
+    out = rotate_panorama(rotate_panorama(img, R=R), R=np.linalg.inv(R))
+    err = np.abs(out - img).mean()
+    assert err < 0.01, err
+
+
+def test_rotate_panorama_z_rotation_is_column_roll():
+    """Rotating about the vertical axis by 2*pi*k/W columns equals a roll."""
+    from horizonnet_tpu.preprocess import rotate_panorama
+    rng = np.random.default_rng(10)
+    img = rng.uniform(0, 1, (32, 64, 3)).astype(np.float32)
+    k = 16
+    th = 2 * np.pi * k / 64
+    Rz = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0],
+                   [0, 0, 1]])
+    out = rotate_panorama(img, R=Rz)
+    rolled = np.roll(img, -k, axis=1)
+    # Up to the direction convention the result is an exact column roll
+    err_pos = np.abs(out - rolled).mean()
+    err_neg = np.abs(out - np.roll(img, k, axis=1)).mean()
+    assert min(err_pos, err_neg) < 5e-4, (err_pos, err_neg)
