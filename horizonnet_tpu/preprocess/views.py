@@ -98,6 +98,11 @@ def cut_views(pano, size=320, fov=np.pi / 3, directions=None):
 
 
 def rgb_to_gray(views):
-    """ITU-R 601 luma (cv2 RGB2GRAY weights): [.., 3] -> [..]."""
+    """ITU-R 601 luma (cv2 RGB2GRAY weights): [.., 3] -> [..].
+
+    Elementwise form (not @): the default matmul path would truncate f32
+    to bf16, costing ~1/255 of gray precision right at LSD's quantization
+    threshold.
+    """
     w = jnp.asarray([0.299, 0.587, 0.114], views.dtype)
-    return views @ w
+    return (views * w).sum(-1)
