@@ -5,9 +5,14 @@ Reference behavior: inference.py:21-141. TPU-first deltas:
   device as one batched forward (the reference round-trips numpy per copy,
   inference.py:32-62);
 - many panos run per step (the reference loops one at a time);
-- peak finding runs on device with a static-shape top-K.
+- in the serving engine's ``postproc="cuboid"`` mode the ENTIRE cuboid
+  Manhattan fit (peaks, vote, corner back-projection) runs on device fused
+  with the forward (postproc/device.py), so only [B, 8, 2] corners cross
+  back to host.
 
-The greedy Manhattan fit stays on host (tiny, sequential; SURVEY.md §7).
+This module's host ``postprocess`` is the reference-exact float64 path; the
+greedy general-layout fit always stays on host (tiny, sequential;
+SURVEY.md §7).
 """
 
 import sys
@@ -86,22 +91,44 @@ class InferenceEngine:
     """
 
     def __init__(self, model, variables, batch_size=1, H=512, W=1024,
-                 flip=False, rotate=(), input_uint8=False):
+                 flip=False, rotate=(), input_uint8=False, postproc=None,
+                 mesh=None):
         self.model = model
         self.batch_size = batch_size
         self.H, self.W = H, W
         self.input_uint8 = input_uint8
+        self.postproc = postproc
         base = _tta_forward_fn(model, bool(flip), tuple(rotate))
-        if input_uint8:
-            # uint8 panos cross host->device 4x cheaper; normalize on device
-            def fn(variables, x):
-                return base(variables, x.astype(jnp.float32) / 255.0)
-            in_dtype = jnp.uint8
-        else:
-            fn = base
-            in_dtype = jnp.float32
+        in_dtype = jnp.uint8 if input_uint8 else jnp.float32
+
+        def fn(variables, x):
+            if input_uint8:
+                # uint8 panos cross host->device 4x cheaper; normalize here
+                x = x.astype(jnp.float32) / 255.0
+            bon, cor = base(variables, x)
+            if postproc == "cuboid":
+                # Full Manhattan cuboid fit fused into the same XLA program:
+                # the host receives [B, 8, 2] corners + [B] z1 instead of
+                # [B, 3, W] raw outputs (postproc/device.py)
+                from .postproc.device import postprocess_cuboid_batch
+                return postprocess_cuboid_batch(bon, cor[:, 0], H, W)
+            elif postproc is not None:
+                raise ValueError(f"unknown postproc mode {postproc!r}")
+            return bon, cor
+
         self._in_dtype = in_dtype
-        jitted = jax.jit(fn)
+        if mesh is not None:
+            # Data-parallel serving: TTA batch sharded over the mesh's
+            # 'data' axis, params replicated. GSPMD partitions the forward;
+            # there is no hand-written collective (parallel/mesh.py).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert batch_size % mesh.shape["data"] == 0, \
+                (batch_size, dict(mesh.shape))
+            jitted = jax.jit(fn,
+                             in_shardings=(NamedSharding(mesh, P()),
+                                           NamedSharding(mesh, P("data"))))
+        else:
+            jitted = jax.jit(fn)
         x_spec = jax.ShapeDtypeStruct((batch_size, H, W, 3), in_dtype)
         v_spec = jax.eval_shape(lambda: variables)
         self.compiled = jitted.lower(v_spec, x_spec).compile()

@@ -8,6 +8,8 @@ costs microseconds.
 
 from .manhattan import (vote, gen_ww, gen_ww_cuboid, gen_ww_general,
                         get_gpid, get_rot_rad, fuv2img, gpid_two_split)
+from .device import postprocess_cuboid_batch, vote_sorted, find_4_peaks
 
 __all__ = ["vote", "gen_ww", "gen_ww_cuboid", "gen_ww_general",
-           "get_gpid", "get_rot_rad", "fuv2img", "gpid_two_split"]
+           "get_gpid", "get_rot_rad", "fuv2img", "gpid_two_split",
+           "postprocess_cuboid_batch", "vote_sorted", "find_4_peaks"]

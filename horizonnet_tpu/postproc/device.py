@@ -1,0 +1,182 @@
+"""Batched on-device cuboid post-processing (static shapes, jit-safe).
+
+Device replica of ``inference.postprocess(force_cuboid=True)`` — the
+reference's serving-path host work (inference.py:90-141 + the cuboid half
+of misc/post_proc.py): boundary denormalization, robust z1 estimation,
+corner peak finding, floor-plane projection, the per-segment consensus
+``vote``, the cuboid alternation fix, and the corner back-projection.
+
+Everything here is shape-static and batched over panos, so it fuses into
+the model forward as one XLA program: the host receives only the final
+``[B, 8, 2]`` corner array instead of ``[B, 3, W]`` raw outputs — which
+removes the per-pano host round-trip that dominated round-1 serving.
+
+The greedy general-layout fit (gen_ww_general) stays on host: it mutates a
+wall list with insertions (SURVEY.md §7 "hard parts"). Cuboid mode is the
+benchmark/serving path; general mode goes through postproc.manhattan.
+
+Numerics: float32 on device vs the host path's float64. The ``vote`` span
+search compares distances against a tolerance, so adversarial inputs near
+the tolerance boundary can pick a different span; on real model outputs the
+corner coordinates agree with the host path to well under a pixel (see
+tests/test_postproc_device.py).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.equirect import PI, coor2xy, coory2v_up, infer_coory, xy2coor
+from ..ops.filters import circular_max_filter_1d
+
+
+def _percentile_band_mean(z, lo=25.0, hi=75.0):
+    """Mean of the inter-percentile band along the last axis.
+
+    Device twin of geometry.equirect.mean_percentile (ref post_proc.py:69-72).
+    """
+    vmin = jnp.percentile(z, lo, axis=-1, keepdims=True)
+    vmax = jnp.percentile(z, hi, axis=-1, keepdims=True)
+    mask = (vmin <= z) & (z <= vmax)
+    return jnp.sum(jnp.where(mask, z, 0.0), -1) / jnp.maximum(mask.sum(-1), 1)
+
+
+def vote_sorted(svals, m, tol):
+    """Consensus vote over pre-sorted, +inf-padded sample rows.
+
+    ``svals [..., W]`` ascending with ``m [...]`` valid entries followed by
+    +inf padding; ``tol [...]`` per-row tolerance. Returns
+    ``(best_fit, p_score, l1_score)`` with the semantics of the host
+    ``postproc.manhattan.vote`` (ref misc/post_proc.py:75-98): the longest
+    sorted span whose extremes lie within tol (strictly, +1e-9 for distinct
+    pairs) and which covers >= 40% of the samples wins; earliest start
+    index breaks ties (matching np.argmax over the row-major span matrix);
+    fall back to the median with score 0 when no span qualifies or m < tol.
+    """
+    W = svals.shape[-1]
+    idx = jnp.arange(W)
+    valid_entry = idx < m[..., None]
+    sz = jnp.where(valid_entry, svals, 0.0)
+    cs0 = jnp.concatenate(
+        [jnp.zeros((*sz.shape[:-1], 1), sz.dtype), jnp.cumsum(sz, -1)], -1)
+
+    # For each span start i, the end of the longest admissible span is the
+    # last j with svals[j] <= svals[i] + tol - 1e-9 (the host adds 1e-9 to
+    # every off-diagonal distance); the (i, i) singleton is always valid.
+    q = svals + (tol[..., None] - 1e-9)
+    flat_a = svals.reshape(-1, W)
+    flat_q = q.reshape(-1, W)
+    ss = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right"))(flat_a, flat_q)
+    ss = ss.reshape(svals.shape)
+    ss = jnp.maximum(ss, idx + 1)
+    span = ss - idx
+
+    ok = valid_entry & (span >= 0.4 * m[..., None])
+    best_i = jnp.argmax(jnp.where(ok, span, -1), -1)
+    bi = best_i[..., None]
+    span_b = jnp.take_along_axis(span, bi, -1)[..., 0]
+    ss_b = jnp.take_along_axis(ss, bi, -1)
+    sum_b = (jnp.take_along_axis(cs0, ss_b, -1)
+             - jnp.take_along_axis(cs0, bi, -1))[..., 0]
+    span_fit = sum_b / span_b
+
+    # Median fallback (np.median semantics over the m valid entries)
+    lo_i = jnp.maximum((m - 1) // 2, 0)[..., None]
+    hi_i = jnp.maximum(m // 2, 0)[..., None]
+    med = 0.5 * (jnp.take_along_axis(svals, lo_i, -1)
+                 + jnp.take_along_axis(svals, hi_i, -1))[..., 0]
+
+    has = jnp.any(ok, -1) & (m >= tol)
+    best_fit = jnp.where(has, span_fit, med)
+    p_score = jnp.where(has, span_b / jnp.maximum(m, 1), 0.0)
+    l1 = jnp.sum(jnp.where(valid_entry,
+                           jnp.abs(svals - best_fit[..., None]), 0.0),
+                 -1) / jnp.maximum(m, 1)
+    return best_fit, p_score, l1
+
+
+def find_4_peaks(signal, r_px):
+    """Top-4 corner columns, sorted; device twin of the force_cuboid peak
+    find (ref inference.py:21-29 with min_v=0, N=4).
+
+    Degenerate signals with < 4 local maxima (where the host path would
+    crash on the 4-wall assert) fall back to evenly spaced columns.
+    """
+    W = signal.shape[-1]
+    mx = circular_max_filter_1d(signal, r_px)
+    neg = jnp.where((mx == signal) & (signal > 0.0), signal, -jnp.inf)
+    vals, locs = jax.lax.top_k(neg, 4)
+    valid = jnp.isfinite(vals)
+    fallback = jnp.broadcast_to(jnp.arange(4) * (W // 4), locs.shape)
+    locs = jnp.where(valid, locs, fallback)
+    return jnp.sort(locs, -1)
+
+
+def postprocess_cuboid_batch(y_bon, y_cor, H=512, W=1024, z0=50.0, r=0.05):
+    """Full cuboid postprocess for a batch of raw model outputs.
+
+    y_bon [B, 2, W] boundary angles (radians); y_cor [B, W] corner
+    probability (post-sigmoid). Returns (cor_id [B, 8, 2] normalized uv
+    interleaved ceiling/floor, z1 [B]); z0 is the fixed 50.0 of the
+    reference (inference.py:96).
+    """
+    B = y_bon.shape[0]
+    bon = (y_bon / PI + 0.5) * H - 0.5
+    ceil = jnp.clip(bon[:, 0], 1, H / 2 - 1)
+    floor = jnp.clip(bon[:, 1], H / 2 + 1, H - 2)
+
+    # refine_by_fix_z: robust second-plane height (ref post_proc.py:109-123)
+    c0 = z0 / jnp.tan(coory2v_up(ceil, H))
+    z1 = _percentile_band_mean(c0 * jnp.tan(coory2v_up(floor, H)))
+    tol = jnp.abs(0.16 * z1 / 1.6)
+
+    # Corner columns and the wall-segment id of every column
+    r_px = int(round(W * r / 2))
+    locs = find_4_peaks(y_cor, r_px)                       # [B, 4]
+    cols = jnp.arange(W)
+    gpid = (cols[None, :, None] >= locs[:, None, :]).sum(-1) % 4   # [B, W]
+
+    # Project the ceiling boundary onto the floor plane
+    colsf = jnp.broadcast_to(cols.astype(ceil.dtype), (B, W))
+    xy = coor2xy(jnp.stack([colsf, ceil], -1), z0, W, H)   # [B, W, 2]
+
+    # Per (segment, axis) consensus vote on masked, sorted samples
+    seg_mask = gpid[:, None, :] == jnp.arange(4)[None, :, None]    # [B,4,W]
+    vals_ax = jnp.transpose(xy, (0, 2, 1))                         # [B,2,W]
+    masked = jnp.where(seg_mask[:, :, None, :], vals_ax[:, None],
+                       jnp.inf)                                    # [B,4,2,W]
+    svals = jnp.sort(masked, -1)
+    m = jnp.broadcast_to(seg_mask.sum(-1)[..., None], (B, 4, 2))
+    fit, sc, l1 = vote_sorted(svals, m, jnp.broadcast_to(
+        tol[:, None, None], (B, 4, 2)))
+
+    # Candidate wall per segment: better-scoring axis wins, L1 breaks ties
+    # (x on strict win, y on full tie — host tuple compare semantics)
+    pick_x = (sc[..., 0] > sc[..., 1]) | (
+        (sc[..., 0] == sc[..., 1]) & (l1[..., 0] < l1[..., 1]))
+    val = jnp.where(pick_x, fit[..., 0], fit[..., 1])      # [B, 4]
+    score = jnp.where(pick_x, sc[..., 0], sc[..., 1])
+
+    # Cuboid alternation fix (ref post_proc.py:224-237): choose the parity
+    # whose member walls carry the higher signed score total
+    signed = jnp.where(pick_x, score, -score)
+    first = jnp.where(signed[:, 0] + signed[:, 2]
+                      > signed[:, 1] + signed[:, 3], 0, 1)
+    types = (first[:, None] + jnp.arange(4)[None, :]) % 2  # [B, 4]
+
+    # Wall-line intersections -> plan corners -> pano pixel coords
+    val_n = jnp.roll(val, -1, axis=1)
+    corx = jnp.where(types == 1, val_n, val)
+    cory = jnp.where(types == 1, val, val_n)
+    cor = xy2coor(jnp.stack([corx, cory], -1), z0, W, H)   # [B, 4, 2]
+    shift = 2 * jnp.argmin(cor[:, ::2, 0], axis=1)
+    order = (jnp.arange(4)[None, :] + shift[:, None]) % 4
+    cor = jnp.take_along_axis(cor, order[..., None], axis=1)
+
+    # Floor row of every corner from its ceiling row (ref inference.py:129)
+    fy = infer_coory(cor[..., 1], z1[:, None] - z0, z0, H)
+    cor_id = jnp.stack(
+        [jnp.stack([cor[..., 0], cor[..., 1]], -1),
+         jnp.stack([cor[..., 0], fy], -1)], axis=2).reshape(B, 8, 2)
+    cor_id = cor_id / jnp.asarray([W, H], cor_id.dtype)
+    return cor_id, z1

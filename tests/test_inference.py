@@ -107,3 +107,45 @@ def test_postprocess_clips_boundaries():
     cor_id, z0, z1 = postprocess(bon, y_cor, H, W, force_raw=True)
     rows = cor_id[::2, 1] * H
     assert (rows >= 1 - 1e-6).all() and (rows <= H / 2 - 1 + 1e-6).all()
+
+def test_engine_device_postproc_matches_host(small_model):
+    """postproc='cuboid' engine output == host postprocess of raw outputs."""
+    model, variables = small_model
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (2, 64, 128, 3)).astype(np.float32)
+    eng = InferenceEngine(model, variables, batch_size=2, H=64, W=128)
+    engc = InferenceEngine(model, variables, batch_size=2, H=64, W=128,
+                           postproc="cuboid")
+    bon, cor = eng(x)
+    bon, cor = np.asarray(bon), np.asarray(cor)
+    cid_d, z1_d = engc(x)
+    cid_d, z1_d = np.asarray(cid_d), np.asarray(z1_d)
+    assert cid_d.shape == (2, 8, 2)
+    for b in range(2):
+        cid, z0, z1 = postprocess(bon[b], cor[b, 0], 64, 128,
+                                  force_cuboid=True)
+        assert abs(z1_d[b] - z1) < 0.05 * abs(z1)
+        assert np.abs(cid_d[b] - cid).max() < 3.0 / 64
+
+
+def test_engine_mesh_matches_single_device(small_model):
+    """Data-parallel serving over the 8-CPU mesh: sharded on 'data', output
+    numerically equal to the single-device engine."""
+    import jax
+    from horizonnet_tpu.parallel import make_mesh
+
+    model, variables = small_model
+    mesh = make_mesh(n_data=8, n_model=1)
+    rng = np.random.default_rng(6)
+    x = rng.uniform(0, 1, (8, 64, 128, 3)).astype(np.float32)
+    eng1 = InferenceEngine(model, variables, batch_size=8, H=64, W=128)
+    engm = InferenceEngine(model, variables, batch_size=8, H=64, W=128,
+                           mesh=mesh)
+    x_dev = engm.put(x)
+    assert len(x_dev.sharding.device_set) == 8
+    bon_m, cor_m = engm.run(x_dev)
+    bon_1, cor_1 = eng1(x)
+    np.testing.assert_allclose(np.asarray(bon_m), np.asarray(bon_1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cor_m), np.asarray(cor_1),
+                               atol=1e-4)

@@ -1,0 +1,114 @@
+"""Device cuboid postprocess vs the reference-exact host path.
+
+The device path (postproc/device.py) is float32 and shape-static; the host
+path (inference.postprocess) is float64 numpy. On well-conditioned inputs
+(clear corner peaks, consensus walls) they must agree to sub-pixel.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from horizonnet_tpu.geometry import xy2coor, cor_2_1d
+from horizonnet_tpu.geometry.equirect import infer_coory
+from horizonnet_tpu.inference import postprocess
+from horizonnet_tpu.ops.filters import find_peaks_np
+from horizonnet_tpu.postproc.device import (
+    find_4_peaks, postprocess_cuboid_batch, vote_sorted)
+from horizonnet_tpu.postproc.manhattan import vote
+
+H, W = 512, 1024
+
+
+def _vote_device(vec, tol):
+    """Run the device vote on one 1-D host vector."""
+    vec = np.asarray(vec, np.float64)
+    svals = jnp.sort(jnp.asarray(vec, jnp.float32))[None]
+    m = jnp.asarray([len(vec)])
+    fit, sc, l1 = vote_sorted(svals, m, jnp.asarray([tol], jnp.float32))
+    return float(fit[0]), float(sc[0]), float(l1[0])
+
+
+def test_vote_sorted_matches_host():
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        m = int(rng.integers(3, 200))
+        scale = float(rng.uniform(1, 50))
+        vec = rng.normal(0, scale, m)
+        tol = float(rng.uniform(0.5, 2 * scale))
+        want = vote(vec, tol)
+        got = _vote_device(vec, tol)
+        assert abs(got[0] - want[0]) < 1e-3 * max(1, scale), trial
+        assert abs(got[1] - want[1]) < 1e-6, trial
+        assert abs(got[2] - want[2]) < 1e-3 * max(1, scale), trial
+
+
+def test_vote_sorted_median_fallback():
+    # Spread beyond tol -> median, score 0 (host semantics)
+    vec = np.array([0.0, 100.0, 200.0])
+    got = _vote_device(vec, 0.5)
+    assert got[0] == 100.0 and got[1] == 0.0
+    # m < tol -> median fallback even when a span exists
+    vec = np.array([10.0, 10.01, 10.02])
+    want = vote(vec, tol=5)
+    got = _vote_device(vec, 5.0)
+    assert want[1] == 0 and got[1] == 0
+    assert abs(got[0] - want[0]) < 1e-4
+
+
+def _corner_heatmap(xs, w=W, sigma=4.0):
+    cols = np.arange(w)
+    d = np.abs(cols[None, :] - np.asarray(xs)[:, None])
+    d = np.minimum(d, w - d)
+    return 0.01 + 0.9 * np.exp(-(d / sigma) ** 2).sum(0).clip(0, 1)
+
+
+def test_find_4_peaks_matches_host():
+    rng = np.random.default_rng(1)
+    for trial in range(10):
+        xs = np.sort(rng.choice(np.arange(30, W - 30, 60), 4, replace=False))
+        sig = _corner_heatmap(xs) + rng.uniform(0, 1e-4, W)
+        r_px = int(round(W * 0.05 / 2))
+        want = find_peaks_np(sig, r=r_px, min_v=0, N=4)[0]
+        got = np.asarray(find_4_peaks(jnp.asarray(sig, jnp.float32)[None],
+                                      r_px))[0]
+        assert np.array_equal(np.sort(want), got), trial
+
+
+def _synthetic_raw(rng, z1=-80.0):
+    """Model-like raw outputs for a random cuboid room."""
+    w, d = rng.uniform(4, 10), rng.uniform(3, 8)
+    cx, cy = 512 - 0.5, 256 - 0.5
+    plan = np.array([[cx - w, cy - d], [cx + w, cy - d],
+                     [cx + w, cy + d], [cx - w, cy + d]])
+    ceil = xy2coor(plan, 50.0, W, H)
+    floor_y = infer_coory(ceil[:, 1], z1 - 50.0, 50.0, H)
+    cor = np.empty((8, 2))
+    cor[0::2] = ceil
+    cor[1::2] = np.stack([ceil[:, 0], floor_y], -1)
+    bon = cor_2_1d(cor.astype(np.float32), H, W)
+    bon = bon + rng.normal(0, 2e-4, bon.shape)
+    y_cor = _corner_heatmap(ceil[:, 0]) + rng.uniform(0, 1e-4, W)
+    return bon.astype(np.float64), y_cor
+
+
+def test_postprocess_cuboid_batch_matches_host():
+    rng = np.random.default_rng(2)
+    B = 4
+    raws = [_synthetic_raw(rng) for _ in range(B)]
+    y_bon = np.stack([r[0] for r in raws])
+    y_cor = np.stack([r[1] for r in raws])
+
+    cor_id_d, z1_d = postprocess_cuboid_batch(
+        jnp.asarray(y_bon, jnp.float32), jnp.asarray(y_cor, jnp.float32),
+        H, W)
+    cor_id_d = np.asarray(cor_id_d)
+    z1_d = np.asarray(z1_d)
+
+    for b in range(B):
+        cor_id, z0, z1 = postprocess(y_bon[b], y_cor[b], H, W,
+                                     force_cuboid=True)
+        assert cor_id.shape == (8, 2)
+        assert abs(z1_d[b] - z1) < 0.05 * abs(z1)
+        # Sub-pixel agreement in normalized uv (1 px = 1/1024 or 1/512)
+        assert np.abs(cor_id_d[b] - cor_id).max() < 1.5 / 512, (
+            b, np.abs(cor_id_d[b] - cor_id).max())
