@@ -23,10 +23,12 @@ def main(argv=None):
     parser.add_argument("--ignore_floor", action="store_true")
     parser.add_argument("--ignore_ceiling", action="store_true")
     parser.add_argument("--ignore_wall", action="store_true")
+    parser.add_argument("--ignore_wireframe", action="store_true",
+                        help="skip the red corner-edge wireframe in --vis")
     args = parser.parse_args(argv)
 
     from PIL import Image
-    from ..viewer.mesh import layout_to_mesh, write_ply
+    from ..viewer.mesh import layout_to_mesh, write_ply, corner_wireframe
 
     img = Image.open(args.img)
     if img.size != (1024, 512):
@@ -59,7 +61,15 @@ def main(argv=None):
             o3d.utility.Vector3dVector(xyz),
             o3d.utility.Vector3iVector(faces))
         mesh.vertex_colors = o3d.utility.Vector3dVector(rgb / 255.0)
-        o3d.visualization.draw_geometries([mesh])
+        geoms = [mesh]
+        if not args.ignore_wireframe:
+            pts, lines, colors = corner_wireframe(cor_id, H, W)
+            wf = o3d.geometry.LineSet()
+            wf.points = o3d.utility.Vector3dVector(pts)
+            wf.lines = o3d.utility.Vector2iVector(lines)
+            wf.colors = o3d.utility.Vector3dVector(colors)
+            geoms.append(wf)
+        o3d.visualization.draw_geometries(geoms, mesh_show_back_face=True)
     return 0
 
 

@@ -85,6 +85,36 @@ def write_ply(path, xyz, rgb, faces=None):
                 f.write(f"3 {a} {b_} {c}\n")
 
 
+def corner_wireframe(cor_id, H=512, W=1024, floor_z=-1.6):
+    """Corner-edge wireframe geometry (ref layout_viewer.py:138-169).
+
+    cor_id: (2N, 2) pixel corner coords, interleaved ceiling/floor rows.
+    Corners project onto the floor plane at z=floor_z; the ceiling height
+    is the mean height implied by the ceiling rows over those plan points.
+    Returns (points [2N, 3], lines [3N, 2] int32, colors [3N, 3]): the
+    floor ring, the ceiling ring, and the vertical edges, all red — the
+    arrays an open3d LineSet consumes, constructed GUI-free so they are
+    testable without open3d.
+    """
+    from ..geometry.equirect import coor2xy, coory2v_up
+
+    cor_id = np.asarray(cor_id, np.float64)
+    N = len(cor_id) // 2
+    floor_xy = coor2xy(cor_id[1::2], floor_z, W, H, floorW=1, floorH=1)
+    c = np.sqrt((floor_xy ** 2).sum(1))
+    v = coory2v_up(cor_id[0::2, 1], H)
+    ceil_z = float((c * np.tan(v)).mean())
+
+    points = np.concatenate([
+        np.hstack([floor_xy, np.full((N, 1), floor_z)]),
+        np.hstack([floor_xy, np.full((N, 1), ceil_z)])], 0)
+    ring = np.stack([np.arange(N), (np.arange(N) + 1) % N], -1)
+    vertical = np.stack([np.arange(N), np.arange(N) + N], -1)
+    lines = np.concatenate([ring, ring + N, vertical], 0).astype(np.int32)
+    colors = np.tile([1.0, 0.0, 0.0], (len(lines), 1))
+    return points, lines, colors
+
+
 def layout_to_mesh(cor_id, img, ignore_floor=False, ignore_ceiling=False,
                    ignore_wall=False):
     """Full pipeline: corners + texture -> (vertices, colors, faces)."""

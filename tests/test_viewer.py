@@ -66,3 +66,28 @@ def test_visualize_a_data_strip():
     out = visualize_a_data(x, y_bon, y_cor)
     assert out.shape == (64 + 33, 128, 3)
     assert out.dtype == np.uint8
+
+def test_corner_wireframe_geometry():
+    """Wireframe arrays for a synthetic cuboid: ring + ring + verticals."""
+    import numpy as np
+    from horizonnet_tpu.geometry import xy2coor
+    from horizonnet_tpu.viewer.mesh import corner_wireframe
+
+    pts = np.array([[-3.0, -2.0], [3.0, -2.0], [3.0, 2.0], [-3.0, 2.0]])
+    floor = xy2coor(pts, -1.6, 1024, 512, floorW=1, floorH=1)
+    ceil = xy2coor(pts, 1.2, 1024, 512, floorW=1, floorH=1)
+    cor_id = np.zeros((8, 2))
+    cor_id[0::2] = ceil
+    cor_id[1::2] = floor
+
+    points, lines, colors = corner_wireframe(cor_id, 512, 1024)
+    assert points.shape == (8, 3) and lines.shape == (12, 2)
+    assert colors.shape == (12, 3) and (colors == [1, 0, 0]).all()
+    # Floor ring at z=-1.6, ceiling ring at the implied ceiling height
+    assert np.allclose(points[:4, 2], -1.6)
+    assert np.allclose(points[4:, 2], 1.2, atol=1e-2)
+    # Plan positions recover the synthetic room footprint
+    assert np.allclose(np.sort(points[:4, 0]), [-3, -3, 3, 3], atol=0.05)
+    assert np.allclose(np.sort(points[:4, 1]), [-2, -2, 2, 2], atol=0.05)
+    # Verticals connect corner i to corner i+N
+    assert (lines[8:] == np.stack([np.arange(4), np.arange(4) + 4], -1)).all()
