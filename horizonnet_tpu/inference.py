@@ -92,19 +92,34 @@ class InferenceEngine:
 
     def __init__(self, model, variables, batch_size=1, H=512, W=1024,
                  flip=False, rotate=(), input_uint8=False, postproc=None,
-                 mesh=None):
+                 mesh=None, input_format=None):
         self.model = model
         self.batch_size = batch_size
         self.H, self.W = H, W
-        self.input_uint8 = input_uint8
         self.postproc = postproc
+        if input_format is None:
+            input_format = "uint8" if input_uint8 else "float"
+        assert input_format in ("float", "uint8", "yuv420"), input_format
+        self.input_format = input_format
+        self.input_uint8 = input_format == "uint8"
         base = _tta_forward_fn(model, bool(flip), tuple(rotate))
-        in_dtype = jnp.uint8 if input_uint8 else jnp.float32
+        if input_format == "float":
+            in_dtype, in_shape = jnp.float32, (batch_size, H, W, 3)
+        elif input_format == "uint8":
+            # uint8 panos cross the host->device link 4x cheaper than f32
+            in_dtype, in_shape = jnp.uint8, (batch_size, H, W, 3)
+        else:
+            # YUV 4:2:0 planes (the decoded form of JPEG/video sources):
+            # half the bytes of RGB uint8; RGB is rebuilt on device
+            in_dtype = jnp.uint8
+            in_shape = (batch_size, 6, H // 2, W // 2)
 
         def fn(variables, x):
-            if input_uint8:
-                # uint8 panos cross host->device 4x cheaper; normalize here
+            if input_format == "uint8":
                 x = x.astype(jnp.float32) / 255.0
+            elif input_format == "yuv420":
+                from .ops.yuv import unpack_yuv420_to_rgb
+                x = unpack_yuv420_to_rgb(x)
             bon, cor = base(variables, x)
             if postproc == "cuboid":
                 # Full Manhattan cuboid fit fused into the same XLA program:
@@ -129,7 +144,7 @@ class InferenceEngine:
                                            NamedSharding(mesh, P("data"))))
         else:
             jitted = jax.jit(fn)
-        x_spec = jax.ShapeDtypeStruct((batch_size, H, W, 3), in_dtype)
+        x_spec = jax.ShapeDtypeStruct(in_shape, in_dtype)
         v_spec = jax.eval_shape(lambda: variables)
         self.compiled = jitted.lower(v_spec, x_spec).compile()
         (v_fmt, x_fmt), _ = self.compiled.input_formats
@@ -139,8 +154,14 @@ class InferenceEngine:
 
     def put(self, x):
         """Start the async host->device upload of a batch (double-buffer
-        this against run() of the previous batch)."""
-        return jax.device_put(jnp.asarray(x, self._in_dtype), self._x_fmt)
+        this against run() of the previous batch).
+
+        The host array goes to the executable's preferred format in ONE
+        device_put. Never pre-wrap in jnp.asarray: that commits the array
+        to the default device first and the second device_put re-lands it
+        (a measured 2x upload cost on the remote transport)."""
+        x = np.asarray(x, self._in_dtype)
+        return jax.device_put(x, self._x_fmt)
 
     def run(self, x_dev):
         """Run the compiled forward on an already-uploaded batch (async)."""
