@@ -81,6 +81,8 @@ def cmd_gen_txt(args):
         pairs = []
         for scene_id in scene_ids:
             rgb_dir = os.path.join(args.root, scene_id, "rgb")
+            if not os.path.isdir(rgb_dir):
+                continue  # scene absent from this extraction
             for fname in os.listdir(rgb_dir):
                 room_id = fname.split("_")[0]
                 img_k = os.path.join(scene_id, "rgb", fname)

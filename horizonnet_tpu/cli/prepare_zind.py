@@ -1,10 +1,13 @@
 """Zillow Indoor (ZInD) dataset preparation.
 
 Reference surface: misc/zind_prepare_dataset.py. Converts each pano's
-``merger`` layout tree into the corner-txt format: vertices -> (theta, phi)
--> pixel coords, filtered by layout_visible / is_primary / is_inside /
-is_ceiling_flat flags. Fixes the reference's swapped-argument bug on the
-non-parallel path (zind_prepare_dataset.py:105).
+``merger`` layout tree into the corner-txt format consumed by
+PanoCorBonDataset, filtered by the layout_visible / is_primary /
+is_inside / is_ceiling_flat flags. The output files (jpg re-encode
+settings, txt number formatting, filename scheme) are bit-identical to
+the reference's so prepared datasets interchange; this implementation
+also fixes the reference's swapped-argument bug on the non-parallel
+path (zind_prepare_dataset.py:105).
 """
 
 import argparse
@@ -17,61 +20,74 @@ import sys
 import numpy as np
 
 
-def label_iterator(label):
-    for floor_id, floor_data in label["merger"].items():
-        for complete_room_id, complete_room_data in floor_data.items():
-            for partial_room_id, partial_room_data in complete_room_data.items():
-                for pano_id, pano_data in partial_room_data.items():
-                    yield floor_id, partial_room_id, pano_id, pano_data
+def iter_pano_entries(zind_json):
+    """Walk the 4-level merger tree, yielding one record per pano."""
+    for floor_id, rooms in zind_json["merger"].items():
+        for complete_room in rooms.values():
+            for partial_room_id, panos in complete_room.items():
+                for pano_id, pano in panos.items():
+                    yield floor_id, partial_room_id, pano_id, pano
 
 
-def _tri_filter(flag_value, wanted):
-    """wanted: -1 don't care / 0 false only / 1 true only."""
-    if wanted == -1:
-        return True
-    return bool(flag_value) == bool(wanted)
+def _flag_ok(value, wanted):
+    """Tri-state filter: wanted is -1 (any) / 0 (false only) / 1 (true)."""
+    return wanted == -1 or bool(value) == bool(wanted)
+
+
+def corner_rows(pano, geometry, width):
+    """Project a pano's layout vertices to interleaved pixel corner rows.
+
+    Returns the list of "x y" text lines (ceiling above floor per vertex)
+    in the exact numeric format of the reference output files.
+    """
+    z_floor = -pano["camera_height"]
+    z_ceil = pano["ceiling_height"] - pano["camera_height"]
+    verts = np.asarray(pano[geometry]["vertices"], np.float64)
+
+    azimuth = np.arctan2(-verts[:, 0], verts[:, 1])
+    plan_dist = np.hypot(verts[:, 0], verts[:, 1])
+    col = (azimuth + np.pi) / (2.0 * np.pi) * (width - 1)
+
+    half_h = width / 2 - 1
+    def to_row(z):
+        elevation = np.arctan2(z, plan_dist)
+        return (1 - (elevation + np.pi / 2.0) / np.pi) * half_h
+
+    row_ceil, row_floor = to_row(z_ceil), to_row(z_floor)
+    lines = []
+    for c, rc, rf in zip(col, row_ceil, row_floor):
+        lines.append(f"{c:.1f} {rc:.1f}")
+        lines.append(f"{c:.1f} {rf:.1f}")
+    return lines
 
 
 def convert_scene(scene_id, split, args):
     from PIL import Image
 
     with open(os.path.join(args.indir, scene_id, "zind_data.json")) as f:
-        label = json.load(f)
-    for floor_id, partial_room_id, pano_id, pano_data in label_iterator(label):
-        if args.geometry not in pano_data:
+        zind_json = json.load(f)
+    for floor_id, partial_room_id, pano_id, pano in \
+            iter_pano_entries(zind_json):
+        if args.geometry not in pano:
             continue
-        if not _tri_filter(pano_data["is_primary"], args.is_primary):
-            continue
-        if not _tri_filter(pano_data["is_inside"], args.is_inside):
-            continue
-        if not _tri_filter(pano_data.get("is_ceiling_flat", False),
-                           args.is_ceiling_flat):
+        if not (_flag_ok(pano["is_primary"], args.is_primary)
+                and _flag_ok(pano["is_inside"], args.is_inside)
+                and _flag_ok(pano.get("is_ceiling_flat", False),
+                             args.is_ceiling_flat)):
             continue
         key = f"{floor_id}_{partial_room_id}_{pano_id}"
-        img_path = os.path.join(args.indir, scene_id, "panos", f"{key}.jpg")
-        assert os.path.isfile(img_path), f"Image not found {img_path}"
+        src = os.path.join(args.indir, scene_id, "panos", f"{key}.jpg")
+        assert os.path.isfile(src), f"Image not found {src}"
 
-        floor_z = -pano_data["camera_height"]
-        ceiling_z = pano_data["ceiling_height"] - pano_data["camera_height"]
-        vertices = np.array(pano_data[args.geometry]["vertices"])
-        theta = np.arctan2(-vertices[:, 0], vertices[:, 1])
-        dist = np.sqrt((vertices ** 2).sum(1))
-        ceiling_phi = np.arctan2(ceiling_z, dist)
-        floor_phi = np.arctan2(floor_z, dist)
-        coor_x = (theta + np.pi) / (2.0 * np.pi) * (args.width - 1)
-        coor_y0 = (1 - (ceiling_phi + np.pi / 2.0) / np.pi) * (args.width / 2 - 1)
-        coor_y1 = (1 - (floor_phi + np.pi / 2.0) / np.pi) * (args.width / 2 - 1)
-
-        img = Image.open(img_path).resize((args.width, args.width // 2),
-                                          Image.LANCZOS)
+        img = Image.open(src).resize((args.width, args.width // 2),
+                                     Image.LANCZOS)
         img.save(os.path.join(args.outdir, split, "img",
                               f"{scene_id}_{key}.jpg"),
                  quality=95, optimize=True)
         with open(os.path.join(args.outdir, split, "label_cor",
                                f"{scene_id}_{key}.txt"), "w") as f:
-            for i in range(len(coor_x)):
-                f.write(f"{coor_x[i]:.1f} {coor_y0[i]:.1f}\n")
-                f.write(f"{coor_x[i]:.1f} {coor_y1[i]:.1f}\n")
+            f.write("\n".join(corner_rows(pano, args.geometry, args.width)))
+            f.write("\n")
 
 
 def main(argv=None):
@@ -89,7 +105,8 @@ def main(argv=None):
     parser.add_argument("--num_workers", default=10, type=int)
     args = parser.parse_args(argv)
 
-    assert os.path.isfile(args.partition), f"Partition not found: {args.partition}"
+    assert os.path.isfile(args.partition), \
+        f"Partition not found: {args.partition}"
     assert os.path.exists(args.indir), f"Dir not found: {args.indir}"
     with open(args.partition) as f:
         partition = json.load(f)
