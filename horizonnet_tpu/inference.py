@@ -216,7 +216,7 @@ def postprocess(y_bon_, y_cor_, H=512, W=1024, force_cuboid=False,
     y_bon_[1] = np.clip(y_bon_[1], H / 2 + 1, H - 2)
 
     z0 = 50.0
-    _, z1 = refine_by_fix_z(y_bon_[0], y_bon_[1], z0)
+    _, z1 = refine_by_fix_z(y_bon_[0], y_bon_[1], z0, coorH=H)
 
     if force_raw:
         # Raw per-column ceiling polygon (train-time validation path)
@@ -246,7 +246,8 @@ def postprocess(y_bon_, y_cor_, H=512, W=1024, force_cuboid=False,
                                     force_cuboid=True)
 
     # Derive the floor row of every corner from its ceiling row
-    cor = np.hstack([cor, infer_coory(cor[:, 1], z1 - z0, z0)[:, None]])
+    cor = np.hstack([cor, infer_coory(cor[:, 1], z1 - z0, z0,
+                                      coorH=H)[:, None]])
 
     cor_id = np.zeros((len(cor) * 2, 2), np.float32)
     for j in range(len(cor)):
