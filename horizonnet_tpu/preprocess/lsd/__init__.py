@@ -68,3 +68,24 @@ def lsd(img, scale=0.8, sigma_scale=0.6, quant=2.0, ang_th=22.5,
     res = np.ctypeslib.as_array(out, shape=(n, 6)).copy()
     lib.lsd_free(out)
     return res
+
+
+def lsd_batch(imgs, num_workers=None, **kw):
+    """Detect segments in many images concurrently.
+
+    The C++ detector holds no mutable global state and ctypes releases
+    the GIL during the foreign call, so a thread pool gives real
+    parallelism across views (the preprocess pipeline runs 26 per pano).
+    Returns a list of (N_i, 6) arrays in input order.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    imgs = list(imgs)
+    _load()  # build/bind once before the pool races on it
+    if num_workers is None:
+        num_workers = min(len(imgs), os.cpu_count() or 1)
+    if num_workers <= 1 or len(imgs) <= 1:
+        return [lsd(im, **kw) for im in imgs]
+    with ThreadPoolExecutor(num_workers) as pool:
+        return list(pool.map(lambda im: lsd(im, **kw), imgs))

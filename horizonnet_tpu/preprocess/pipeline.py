@@ -8,7 +8,7 @@ work: LSD (C++), lifting/merging/Hough/refit (vectorized numpy).
 import numpy as np
 
 from .views import cut_views, rgb_to_gray, VIEW_DIRECTIONS
-from .lsd import lsd
+from .lsd import lsd, lsd_batch
 from .lines import (lift_segments_to_sphere, combine_edges,
                     assign_vanishing_type, refit_line_segments,
                     paint_parameter_lines)
@@ -61,8 +61,10 @@ def pano_edge_detection(img, view_size=320, q_error=0.7, refine_iter=3,
     fov = np.pi / 3
     edges = []
     lifted = []
+    # LSD across the 26 views in parallel (C++ releases the GIL)
+    segs = lsd_batch(grays, quant=q_error)
     for i in range(len(xs)):
-        seg = lsd(grays[i], quant=q_error)
+        seg = segs[i]
         if len(seg):
             seg_list = np.hstack([seg[:, :5], np.ones((len(seg), 2))])
         else:
