@@ -25,7 +25,12 @@ def build_argparser():
     parser.add_argument("--ckpt", default="./ckpt")
     parser.add_argument("--logs", default="./logs")
     parser.add_argument("--pth", default=None,
-                        help="checkpoint to finetune from")
+                        help="checkpoint to finetune from (weights only, "
+                             "fresh optimizer — reference --pth semantics)")
+    parser.add_argument("--resume", default=None,
+                        help="training checkpoint (or its ckpt dir) to "
+                             "resume from: restores params, BN stats, "
+                             "optimizer state, epoch and best score")
     parser.add_argument("--backbone", default="resnet50")
     parser.add_argument("--no_rnn", action="store_true")
     parser.add_argument("--train_root_dir",
@@ -76,11 +81,10 @@ def main(argv=None):
     from ..train import create_train_state, warmup_poly_schedule
     from ..train.step import make_optimizer, encoder_freeze_mask
     from ..train.checkpoint import (save_checkpoint, save_model,
-                                    load_trained_model)
+                                    load_trained_model, load_checkpoint)
     from ..inference import InferenceEngine, postprocess
     from ..evals import test_general, new_general_losses
 
-    rng = np.random.default_rng(args.seed)
     os.makedirs(os.path.join(args.ckpt, args.id), exist_ok=True)
 
     # Datasets
@@ -93,6 +97,10 @@ def main(argv=None):
                      if args.valid_root_dir else None)
     print(f"training dataset contains {len(dataset_train)} images")
 
+    # Peek one sample for the dataset resolution (parameters bind H, W)
+    img0 = dataset_train[0][0]
+    H, W = img0.shape[:2]
+
     # Model
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.pth:
@@ -103,7 +111,8 @@ def main(argv=None):
                             seam_pool=args.seam_pool,
                             bn_momentum=(args.bn_momentum
                                          if args.bn_momentum else 0.1))
-        variables = init_model(model, jax.random.PRNGKey(args.seed))
+        variables = init_model(model, jax.random.PRNGKey(args.seed),
+                               (1, H, W, 3))
 
     # Effective batch splits when an aug dataset is present. The reference
     # has a bug here (train.py:145-162 re-overwrites the halved batch size,
@@ -126,15 +135,37 @@ def main(argv=None):
                         args.weight_decay, mask)
     state = create_train_state(model, variables, tx)
 
+    # Resume: restore params/BN/optimizer/epoch/best-score from a training
+    # checkpoint (the reference cannot — its --pth restarts the optimizer,
+    # train.py:182-186; an interrupted 300-epoch run is unrecoverable there)
+    start_epoch, resume_best = 1, 0.0
+    if args.resume:
+        rp = args.resume
+        if os.path.isdir(rp):
+            rp = os.path.join(rp, "checkpoint.ckpt")
+        state, header = load_checkpoint(rp, state)
+        kw = header.get("kwargs", {})
+        assert kw.get("backbone", args.backbone) == args.backbone and \
+            kw.get("use_rnn", not args.no_rnn) == (not args.no_rnn), \
+            f"--resume checkpoint was trained with {kw}, flags disagree"
+        start_epoch = int(header["epoch"]) + 1
+        resume_best = float(header["best_valid_score"])
+        print(f"Resumed from {rp}: epoch {header['epoch']}, "
+              f"step {int(state.step)}, best {resume_best:.4f}")
+
     # Mesh: pure data parallelism over all local devices. The engine
     # AOT-compiles the step, lays out the state in the executable's
     # preferred formats and donates it (see train/engine.py).
     from ..train.engine import TrainEngine
+    import math
     n_dev = len(jax.devices())
-    mesh = make_mesh() if n_dev > 1 else None
-    # Peek one sample for H, W
-    img0, _, _ = dataset_train[0][:3]
-    H, W = img0.shape[:2]
+    # SPMD needs batch % n_data == 0; use the largest device count that
+    # divides the batch (a 2-sample debug run on an 8-device host must
+    # not crash, it just uses fewer devices)
+    n_data = math.gcd(bs_main + bs_aug, n_dev)
+    mesh = (make_mesh(n_data=n_data, n_model=1,
+                      devices=jax.devices()[:n_data])
+            if n_data > 1 else None)
     engine = TrainEngine(model, state, batch_size=bs_main + bs_aug,
                          H=H, W=W, mesh=mesh)
 
@@ -144,42 +175,46 @@ def main(argv=None):
     except ImportError:
         tb = None
 
-    jrng = jax.random.PRNGKey(args.seed)
-    best_valid_score = 0.0
-    cur_iter = 0
+    best_valid_score = resume_best
+    cur_iter = (start_epoch - 1) * steps_per_epoch
     valid_engine = None  # built lazily; weights swapped per epoch
 
     from concurrent.futures import ThreadPoolExecutor
     prefetch = (ThreadPoolExecutor(args.num_workers)
                 if args.num_workers > 0 else None)
 
-    def build_batch(epoch_order, aug_epoch_order, it):
+    def build_batch(epoch_order, aug_epoch_order, it, bat_rng):
         idx = epoch_order[it * bs_main:(it + 1) * bs_main]
-        x, y_bon, y_cor = make_training_batch(dataset_train, idx, rng)
+        x, y_bon, y_cor = make_training_batch(dataset_train, idx, bat_rng)
         if dataset_aug is not None:
             a_idx = aug_epoch_order[(it * bs_aug) % len(dataset_aug):][:bs_aug]
-            xa, ba, ca = make_training_batch(dataset_aug, a_idx, rng)
+            xa, ba, ca = make_training_batch(dataset_aug, a_idx, bat_rng)
             x = jnp.concatenate([x, xa], 0)
             y_bon = np.concatenate([y_bon, ba], 0)
             y_cor = np.concatenate([y_cor, ca], 0)
         return x, y_bon, y_cor
 
-    for epoch in range(1, args.epochs + 1):
-        order = rng.permutation(len(dataset_train))
-        aug_order = (rng.permutation(len(dataset_aug))
+    for epoch in range(start_epoch, args.epochs + 1):
+        # Per-epoch RNGs derive from (seed, epoch), not a continuous
+        # stream, so a --resume'd run sees the exact data order and aug
+        # draws of an unbroken run (tested in test_train.py)
+        ep_rng = np.random.default_rng([args.seed, epoch])
+        jrng = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
+        order = ep_rng.permutation(len(dataset_train))
+        aug_order = (ep_rng.permutation(len(dataset_aug))
                      if dataset_aug is not None else None)
         # Prefetch: the next batch's host IO + label synthesis + device
         # augmentation run while the current step trains
-        nxt = (prefetch.submit(build_batch, order, aug_order, 0)
+        nxt = (prefetch.submit(build_batch, order, aug_order, 0, ep_rng)
                if prefetch else None)
         for it in range(steps_per_epoch):
             if prefetch:
                 x, y_bon, y_cor = nxt.result()
                 if it + 1 < steps_per_epoch:
                     nxt = prefetch.submit(build_batch, order, aug_order,
-                                          it + 1)
+                                          it + 1, ep_rng)
             else:
-                x, y_bon, y_cor = build_batch(order, aug_order, it)
+                x, y_bon, y_cor = build_batch(order, aug_order, it, ep_rng)
             jrng, step_rng = jax.random.split(jrng)
             metrics = engine.step(x, y_bon, y_cor, step_rng)
             cur_iter += 1
@@ -188,46 +223,64 @@ def main(argv=None):
                     tb.add_scalar(f"train/{k}", float(v), cur_iter)
                 tb.add_scalar("train/lr", float(schedule(cur_iter)), cur_iter)
 
-        # Validation: losses + true metrics via raw-polygon inference
+        # Validation: losses + true metrics via raw-polygon inference.
+        # The forward is batched at --batch_size_valid (ref runs batch 1,
+        # train.py:293-296); postprocess/eval stay per sample on host.
         state = engine.host_state()
         if dataset_valid is not None:
             valid_loss = {}
             variables_now = {"params": state.params,
                              "batch_stats": state.batch_stats}
+            bsv = max(1, args.batch_size_valid)
             if valid_engine is None:
                 valid_engine = InferenceEngine(model, variables_now,
-                                               batch_size=1)
+                                               batch_size=bsv, H=H, W=W)
             else:
                 valid_engine.update_variables(variables_now)
             eps = 1e-7
-            for j in range(len(dataset_valid)):
-                img, y_bon, y_cor, gt_cor = dataset_valid[j]
-                x1 = img[None]
-                true_eval = new_general_losses()
+            for j0 in range(0, len(dataset_valid), bsv):
+                samples = [dataset_valid[j]
+                           for j in range(j0, min(j0 + bsv,
+                                                  len(dataset_valid)))]
+                nb = len(samples)
+                # Fixed-batch engine: pad the tail chunk with repeats
+                xb = np.stack([s[0] for s in samples]
+                              + [samples[-1][0]] * (bsv - nb))
                 try:
-                    vb, vc = valid_engine(x1)
-                    vb = np.asarray(vb)[0]
-                    vp = np.clip(np.asarray(vc)[0], eps, 1 - eps)
-                    # Validation losses from the same forward (the engine
-                    # emits sigmoid probs; BCE from probs == BCE-with-logits)
-                    bon_l = float(np.abs(vb - y_bon).mean())
-                    cor_l = float(-(y_cor * np.log(vp) +
-                                    (1 - y_cor) * np.log(1 - vp)).mean())
-                    losses = {"bon": bon_l, "cor": cor_l,
-                              "total": bon_l + cor_l}
-                    dt_cor_id, _, _ = postprocess(vb, vp[0], force_raw=True)
-                    dt_cor_id = dt_cor_id * [1024, 512]
+                    vb_all, vc_all = valid_engine(xb)
+                    vb_all = np.asarray(vb_all)
+                    vc_all = np.clip(np.asarray(vc_all), eps, 1 - eps)
                 except Exception:
-                    losses = {"bon": 0.0, "cor": 0.0, "total": 0.0}
-                    dt_cor_id = np.array([
-                        [k // 2 * 1024, 256 - ((k % 2) * 2 - 1) * 120]
-                        for k in range(8)])
-                test_general(dt_cor_id, gt_cor, 1024, 512, true_eval)
-                for m in ("2DIoU", "3DIoU", "rmse", "delta_1"):
-                    vals = true_eval["overall"][m]
-                    losses[m] = float(vals[0]) if vals else 0.0
-                for k, v in losses.items():
-                    valid_loss[k] = valid_loss.get(k, 0) + v
+                    vb_all = None
+                for i in range(nb):
+                    img, y_bon, y_cor, gt_cor = samples[i]
+                    true_eval = new_general_losses()
+                    try:
+                        if vb_all is None:
+                            raise RuntimeError("batched forward failed")
+                        vb, vp = vb_all[i], vc_all[i]
+                        # Validation losses from the same forward (the
+                        # engine emits sigmoid probs; BCE from probs ==
+                        # BCE-with-logits)
+                        bon_l = float(np.abs(vb - y_bon).mean())
+                        cor_l = float(-(y_cor * np.log(vp) +
+                                        (1 - y_cor) * np.log(1 - vp)).mean())
+                        losses = {"bon": bon_l, "cor": cor_l,
+                                  "total": bon_l + cor_l}
+                        dt_cor_id, _, _ = postprocess(vb, vp[0],
+                                                      force_raw=True)
+                        dt_cor_id = dt_cor_id * [1024, 512]
+                    except Exception:
+                        losses = {"bon": 0.0, "cor": 0.0, "total": 0.0}
+                        dt_cor_id = np.array([
+                            [k // 2 * 1024, 256 - ((k % 2) * 2 - 1) * 120]
+                            for k in range(8)])
+                    test_general(dt_cor_id, gt_cor, 1024, 512, true_eval)
+                    for m in ("2DIoU", "3DIoU", "rmse", "delta_1"):
+                        vals = true_eval["overall"][m]
+                        losses[m] = float(vals[0]) if vals else 0.0
+                    for k, v in losses.items():
+                        valid_loss[k] = valid_loss.get(k, 0) + v
             n = len(dataset_valid)
             if tb is not None:
                 for k, v in valid_loss.items():
