@@ -81,6 +81,12 @@ def _serve(paths, args, model, variables):
             img = img.resize((1024, 512), Image.BICUBIC)
         return np.asarray(img, np.float32)[..., :3] / 255.0
 
+    try:  # progress over long globs (ref inference.py:192 uses tqdm too)
+        from tqdm import tqdm
+        pbar = tqdm(total=len(paths), unit="pano")
+    except ImportError:
+        pbar = None
+
     for i in range(0, len(paths), args.batch_size):
         chunk = paths[i:i + args.batch_size]
         x = np.stack([load(p) for p in chunk])
@@ -101,7 +107,13 @@ def _serve(paths, args, model, variables):
                 Image.fromarray(vis).resize((vw // 2, vh // 2),
                                             Image.LANCZOS).save(
                     os.path.join(args.output_dir, k + ".raw.png"))
-            print(k, flush=True)
+            if pbar is not None:
+                pbar.set_postfix_str(k, refresh=False)
+                pbar.update(1)
+            else:
+                print(k, flush=True)
+    if pbar is not None:
+        pbar.close()
 
 
 if __name__ == "__main__":

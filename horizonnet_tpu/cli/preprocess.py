@@ -36,7 +36,12 @@ def main(argv=None):
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
 
-    for i_path in paths:
+    try:  # progress: this is the reference's slowest stage (README TODO)
+        from tqdm import tqdm
+        paths_iter = tqdm(paths, unit="pano")
+    except ImportError:
+        paths_iter = paths
+    for i_path in paths_iter:
         print("Processing", i_path, flush=True)
         img_ori = np.array(Image.open(i_path).resize(
             (1024, 512), Image.BICUBIC))[..., :3]

@@ -183,6 +183,11 @@ def main(argv=None):
     prefetch = (ThreadPoolExecutor(args.num_workers)
                 if args.num_workers > 0 else None)
 
+    try:  # per-epoch progress (ref train.py:246,258 uses trange)
+        from tqdm import trange
+    except ImportError:
+        trange = lambda n, **kw: range(n)  # noqa: E731
+
     def build_batch(epoch_order, aug_epoch_order, it, bat_rng):
         idx = epoch_order[it * bs_main:(it + 1) * bs_main]
         x, y_bon, y_cor = make_training_batch(dataset_train, idx, bat_rng)
@@ -207,7 +212,8 @@ def main(argv=None):
         # augmentation run while the current step trains
         nxt = (prefetch.submit(build_batch, order, aug_order, 0, ep_rng)
                if prefetch else None)
-        for it in range(steps_per_epoch):
+        for it in trange(steps_per_epoch, desc=f"Train ep{epoch}",
+                         leave=False):
             if prefetch:
                 x, y_bon, y_cor = nxt.result()
                 if it + 1 < steps_per_epoch:
