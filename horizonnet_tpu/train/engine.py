@@ -82,10 +82,15 @@ class TrainEngine:
         round-tripped through host.
         """
         if not isinstance(x, jax.Array):
-            x = jnp.asarray(x, jnp.float32)
-        x = jax.device_put(x.astype(jnp.float32), self._x_fmt)
-        y_bon = jax.device_put(jnp.asarray(y_bon, jnp.float32), self._yb_fmt)
-        y_cor = jax.device_put(jnp.asarray(y_cor, jnp.float32), self._yc_fmt)
+            # host arrays go to the target format in ONE device_put (a
+            # jnp.asarray detour would commit them to the default device
+            # first and transfer twice)
+            x = np.asarray(x, np.float32)
+        elif x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
+        x = jax.device_put(x, self._x_fmt)
+        y_bon = jax.device_put(np.asarray(y_bon, np.float32), self._yb_fmt)
+        y_cor = jax.device_put(np.asarray(y_cor, np.float32), self._yc_fmt)
         rng = jax.device_put(rng, self._rng_fmt)
         self.state, metrics = self.compiled(self.state, x, y_bon, y_cor, rng)
         return metrics
