@@ -101,11 +101,14 @@ def segments_to_lines(arc_list):
     return lines
 
 
-def combine_edges(per_view_lifted):
+def combine_edges(per_view_lifted, use_native=True):
     """Conservatively merge near-collinear overlapping segments, 3 rounds.
 
     Ref: combineEdgesN (pano_lsd_align.py:348-436). Returns (merged,
-    originals), both (N, 8).
+    originals), both (N, 8). The sequential merge rounds run in C++
+    (merge.cpp) — they were the dominant host cost of VP alignment;
+    ``use_native=False`` selects the numpy twin below (kept as the
+    readable spec and pinned against the C++ path in tests).
     """
     stacks = [p for p in per_view_lifted if len(p)]
     if not stacks:
@@ -113,9 +116,21 @@ def combine_edges(per_view_lifted):
     arc_list = np.vstack(stacks)
     ori_lines = segments_to_lines(arc_list)
 
+    if use_native:
+        from .native import merge_rounds
+        return merge_rounds(ori_lines, rounds=3), ori_lines
+    return _merge_rounds_py(ori_lines), ori_lines
+
+
+def _merge_rounds_py(ori_lines, events=None):
+    """Numpy spec of the merge rounds (see combine_edges).
+
+    ``events``: optional list collecting (round_idx, i, j) per absorption,
+    used by tests to pin the C++ engine to the same decision sequence.
+    """
     lines = ori_lines.copy()
     cos_exact = np.cos(np.pi / 180)
-    for _ in range(3):
+    for round_idx in range(3):
         n = len(lines)
         valid = np.ones(n, bool)
         # Candidate prefilter: one |N N^T| at round start with a 5-degree
@@ -143,6 +158,8 @@ def combine_edges(per_view_lifted):
             for j in cand[np.abs(dots) > cos_exact]:
                 if not _range_intersects(lines[i, 4:6], lines[j, 4:6]):
                     continue
+                if events is not None:
+                    events.append((round_idx, i, int(j)))
                 # arclength-weighted merged normal (sign-aligned)
                 axis = np.argmax(np.abs(lines[i, :3]))
                 if lines[i, axis] * lines[j, axis] > 0:
@@ -164,7 +181,7 @@ def combine_edges(per_view_lifted):
                 lines[i] = [*nc, lines[i, 3], nrmin, nrmax, arclen, score]
                 valid[j] = False
         lines = lines[valid]
-    return lines, ori_lines
+    return lines
 
 
 def assign_vanishing_type(lines, vp, tol, area=10):

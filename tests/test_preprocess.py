@@ -133,6 +133,108 @@ def test_sphere_hough_on_synthetic_manhattan():
         assert align > 0.99, (v, align)
 
 
+def test_combine_edges_native_matches_python():
+    """The C++ merge rounds (merge.cpp) must reproduce the numpy spec:
+    same surviving rows, same order, same float64 values to rounding.
+
+    Input: dense random segments across many views so that thousands of
+    near-collinear pairs actually merge (several per round)."""
+    from horizonnet_tpu.preprocess.lines import combine_edges, _merge_rounds_py
+
+    rng = np.random.default_rng(11)
+    xs, ys = VIEW_DIRECTIONS
+    lifted = []
+    for i in range(len(xs)):
+        n = int(rng.integers(10, 30))
+        p1 = rng.uniform(40, 280, (n, 2))
+        d = rng.normal(0, 40, (n, 2))
+        rows = []
+        for k in range(n):
+            # two overlapping collinear pieces of one image line (merge
+            # fodder: identical great circle, overlapping turn ranges)
+            # plus an unrelated segment
+            rows.append([*p1[k], *(p1[k] + d[k])])
+            rows.append([*(p1[k] + 0.4 * d[k]), *(p1[k] + 1.6 * d[k])])
+            q = rng.uniform(20, 300, 2)
+            rows.append([*q, *(q + rng.normal(0, 30, 2))])
+        seg = np.asarray(rows)
+        seg = np.hstack([seg, np.full((len(seg), 1), 2.0),
+                         np.ones((len(seg), 2))])
+        lifted.append(lift_segments_to_sphere(
+            seg, xs[i], ys[i], np.pi / 3, (320, 320)))
+
+    merged_cpp, ori = combine_edges(lifted, use_native=True)
+    merged_py = _merge_rounds_py(ori)
+
+    assert len(merged_cpp) < len(ori)  # merging actually happened
+    assert merged_cpp.shape == merged_py.shape
+    # Ranges, planeID, score: exact decisions, exact arithmetic
+    np.testing.assert_allclose(merged_cpp[:, 3:6], merged_py[:, 3:6],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(merged_cpp[:, 7], merged_py[:, 7],
+                               rtol=0, atol=1e-12)
+    # Normals/arclen: same to rounding except where a chain of merges on
+    # one row amplifies the ~1-ulp numpy-SIMD-vs-libm trig difference
+    # (acos near 1); bound the angular deviation instead of the floats
+    ang = np.degrees(np.arccos(np.clip(np.abs(
+        (merged_cpp[:, :3] * merged_py[:, :3]).sum(1)), -1, 1)))
+    assert ang.max() < 0.1, ang.max()
+    np.testing.assert_allclose(merged_cpp[:, 6], merged_py[:, 6],
+                               rtol=0, atol=1e-3)
+    assert (np.abs(merged_cpp - merged_py).max(1) > 1e-9).mean() < 0.02
+
+
+def test_combine_edges_native_event_stream_matches_python():
+    """The C++ merge must make the *same decisions* as the numpy spec:
+    identical (round, i, j) merge-event streams on real demo data."""
+    import ctypes
+    from PIL import Image
+    from horizonnet_tpu.preprocess import native
+    from horizonnet_tpu.preprocess.lines import combine_edges
+
+    demo = "/root/reference/assets/demo.png"
+    if not os.path.isfile(demo):
+        pytest.skip("reference assets not mounted")
+    img = np.array(Image.open(demo).resize((1024, 512)))[..., :3]
+    grays = np.asarray(rgb_to_gray(
+        np.asarray(cut_views(img.astype(np.float64), size=160),
+                   np.float64)))
+    from horizonnet_tpu.preprocess.lsd import lsd_batch
+    from horizonnet_tpu.preprocess.lines import lift_segments_to_sphere
+    xs, ys = VIEW_DIRECTIONS
+    segs = lsd_batch(grays, quant=0.7)
+    lifted = []
+    for i in range(len(xs)):
+        s = segs[i]
+        sl = (np.hstack([s[:, :5], np.ones((len(s), 2))]) if len(s)
+              else np.zeros((0, 7)))
+        lifted.append(lift_segments_to_sphere(
+            sl, xs[i], ys[i], np.pi / 3, grays[i].shape))
+    from horizonnet_tpu.preprocess.lines import (segments_to_lines,
+                                                 _merge_rounds_py)
+    ori = segments_to_lines(np.vstack([p for p in lifted if len(p)]))
+    py_events = []
+    merged = _merge_rounds_py(ori, events=py_events)
+
+    lib = native._load()
+    lib.combine_edges_merge_ev.restype = ctypes.c_int
+    lib.combine_edges_merge_ev.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    buf = np.ascontiguousarray(ori, np.float64).copy()
+    ev = np.zeros((100000, 3), np.int32)
+    ev_n = ctypes.c_int(0)
+    m = lib.combine_edges_merge_ev(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(buf), 3,
+        ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(ev),
+        ctypes.byref(ev_n))
+    cpp_events = [tuple(r) for r in ev[:ev_n.value]]
+    assert len(py_events) > 50  # demo data produces real merging
+    assert cpp_events == py_events
+    assert m == len(merged)
+
+
 GOLDEN_VP = "/root/reference/assets/preprocessed/demo_VP.txt"
 
 
