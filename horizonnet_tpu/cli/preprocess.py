@@ -28,7 +28,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from PIL import Image
-    from ..preprocess import pano_edge_detection, rotate_panorama
+    from ..preprocess import pano_edge_detection, rotate_panorama_uint8
 
     paths = sorted(glob.glob(args.img_glob))
     if len(paths) == 0:
@@ -55,22 +55,26 @@ def main(argv=None):
             continue
         pano_edge = (result["pano_edge"] > 0)
 
-        i_img = rotate_panorama(img_ori / 255.0, vp[2::-1])
-        l_img = rotate_panorama(pano_edge.astype(np.float32), vp[2::-1])
+        # RGB + line raster warped in ONE device program ([H, W, 6]),
+        # uint8 both ways across the link (the PNGs are uint8 anyway)
+        both = np.concatenate(
+            [img_ori, pano_edge.astype(np.uint8) * 255], axis=-1)
+        both = rotate_panorama_uint8(both, vp[2::-1])
+        i_img, l_img = both[..., :3], both[..., 3:]
 
         basename = os.path.splitext(os.path.basename(i_path))[0]
         if args.rgbonly:
-            Image.fromarray((np.clip(i_img, 0, 1) * 255).astype(np.uint8)) \
+            Image.fromarray(i_img) \
                 .save(os.path.join(args.output_dir, f"{basename}.png"))
         else:
             with open(os.path.join(args.output_dir,
                                    f"{basename}_VP.txt"), "w") as f:
                 for i in range(3):
                     f.write("%.6f %.6f %.6f\n" % tuple(vp[i]))
-            Image.fromarray((np.clip(i_img, 0, 1) * 255).astype(np.uint8)) \
+            Image.fromarray(i_img) \
                 .save(os.path.join(args.output_dir,
                                    f"{basename}_aligned_rgb.png"))
-            Image.fromarray((np.clip(l_img, 0, 1) * 255).astype(np.uint8)) \
+            Image.fromarray(l_img) \
                 .save(os.path.join(args.output_dir,
                                    f"{basename}_aligned_line.png"))
     return 0

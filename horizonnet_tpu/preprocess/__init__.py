@@ -15,11 +15,11 @@ from .sphere import (
     xyz2uvN, uv2xyzN, computeUVN, icosahedron2sphere, fit_plane_normal,
 )
 from .views import cut_views, VIEW_DIRECTIONS
-from .rotate import rotate_panorama
+from .rotate import rotate_panorama, rotate_panorama_uint8
 from .pipeline import pano_edge_detection
 
 __all__ = [
     "xyz2uvN", "uv2xyzN", "computeUVN", "icosahedron2sphere",
-    "fit_plane_normal", "cut_views", "VIEW_DIRECTIONS", "rotate_panorama",
+    "fit_plane_normal", "cut_views", "VIEW_DIRECTIONS", "rotate_panorama", "rotate_panorama_uint8",
     "pano_edge_detection",
 ]

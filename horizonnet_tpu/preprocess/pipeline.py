@@ -7,7 +7,7 @@ work: LSD (C++), lifting/merging/Hough/refit (vectorized numpy).
 
 import numpy as np
 
-from .views import cut_views, rgb_to_gray, VIEW_DIRECTIONS
+from .views import cut_views, cut_views_gray, rgb_to_gray, VIEW_DIRECTIONS
 from .lsd import lsd, lsd_batch
 from .lines import (lift_segments_to_sphere, combine_edges,
                     assign_vanishing_type, refit_line_segments,
@@ -40,11 +40,17 @@ def draw_segments(shape, segments):
 
 
 def pano_edge_detection(img, view_size=320, q_error=0.7, refine_iter=3,
-                        want_edge_maps=False):
+                        want_edge_maps=False, want_views=False):
     """img: [H, W, 3] float 0..1 or uint8. Returns a dict with:
 
     lines, vp (6x3: 3 directions + mirrors), views, edges, pano_edge
     ([H, W, 3] line raster per VP class), score, angle.
+
+    ``views`` (the 26 RGB perspective cuts) and per-view edge rasters are
+    debug artifacts — the pipeline itself only consumes the grayscale
+    views, which come back from the device as one fused cut+luma program
+    (4x less host<-device traffic). Pass want_views/want_edge_maps to
+    materialize the debug versions.
     """
     img = np.asarray(img)
     if img.dtype == np.uint8:
@@ -53,9 +59,17 @@ def pano_edge_detection(img, view_size=320, q_error=0.7, refine_iter=3,
         img_f = img.astype(np.float64) * (255.0 if img.max() <= 1.001 else 1.0)
     H, W = img.shape[:2]
 
-    # Device: cut all views + grayscale in one pass
-    views = np.asarray(cut_views(img_f, size=view_size))
-    grays = np.asarray(rgb_to_gray(views))
+    if want_views:
+        views = np.asarray(cut_views(img_f, size=view_size))
+        grays = np.asarray(rgb_to_gray(views))
+    elif img.dtype == np.uint8:
+        views = None
+        # uint8 straight to device: same values as the float64 detour
+        # (integral 0..255 are exact in f32), quarter the upload bytes
+        grays = np.asarray(cut_views_gray(img, size=view_size))
+    else:
+        views = None
+        grays = np.asarray(cut_views_gray(img_f, size=view_size))
 
     xs, ys = VIEW_DIRECTIONS
     fov = np.pi / 3

@@ -106,3 +106,30 @@ def rgb_to_gray(views):
     """
     w = jnp.asarray([0.299, 0.587, 0.114], views.dtype)
     return (views * w).sum(-1)
+
+
+def cut_views_gray(pano, size=320, fov=np.pi / 3, directions=None):
+    """Cut all views and reduce to grayscale in ONE device program.
+
+    Returns [V, S, S] luma only — the VP pipeline needs just the grays
+    for LSD, and fusing the reduction before the download cuts the
+    host<-device traffic 4x vs materializing the RGB views ([V,S,S,3]
+    f32) and graying on a second pass.
+    """
+    if directions is None:
+        xs, ys = VIEW_DIRECTIONS
+    else:
+        xs, ys = directions
+    H, W = pano.shape[:2]
+    pano = jnp.asarray(pano)
+
+    @jax.jit
+    def _cut_gray(pano):
+        pano = pano.astype(jnp.float32)   # uint8 panos upload 4x cheaper
+        def one(vx, vy):
+            py, px = _view_source_coords(vx, vy, size, fov, H, W)
+            return rgb_to_gray(bilinear_wrap_sample(pano, py, px))
+        return jax.vmap(one)(jnp.asarray(xs, jnp.float32),
+                             jnp.asarray(ys, jnp.float32))
+
+    return _cut_gray(pano)

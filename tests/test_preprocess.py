@@ -260,6 +260,26 @@ def test_golden_vp_parity():
         assert ang < 0.5, f"VP row {i} off by {ang:.3f} deg"
 
 
+def test_rotate_panorama_uint8_matches_float_path():
+    """uint8-in/uint8-out warp == float warp + host truncation, up to the
+    +-1 LSB f32 scaling ambiguity on a tiny fraction of pixels."""
+    from horizonnet_tpu.preprocess.rotate import (rotate_panorama,
+                                                  rotate_panorama_uint8)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 128, 6), np.uint8)
+    th = 0.4
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    f = rotate_panorama(img.astype(np.float32) / 255.0, R=R)
+    ref = (np.clip(f, 0, 1) * 255).astype(np.uint8)
+    u8 = rotate_panorama_uint8(img, R=R)
+    assert u8.dtype == np.uint8 and u8.shape == img.shape
+    diff = np.abs(u8.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02, (diff > 0).mean()
+
+
 def test_rotate_panorama_identity_and_inverse():
     from horizonnet_tpu.preprocess import rotate_panorama
     rng = np.random.default_rng(9)
