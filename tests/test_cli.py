@@ -91,3 +91,32 @@ def test_inference_cli_tiny(tmp_path):
         dt = json.load(f)
     assert dt["z0"] == 50.0
     assert len(dt["uv"]) == 8
+
+
+@pytest.mark.slow
+def test_preprocess_cli_demo(tmp_path):
+    """Full preprocess CLI on the demo pano: VP txt + aligned PNG outputs
+    exist and the VP matches the committed golden within tolerance."""
+    demo = "/root/reference/assets/demo.png"
+    golden = "/root/reference/assets/preprocessed/demo_VP.txt"
+    if not os.path.isfile(demo):
+        pytest.skip("reference assets not mounted")
+    from PIL import Image
+    from horizonnet_tpu.cli.preprocess import main
+
+    out = str(tmp_path / "out")
+    assert main(["--img_glob", demo, "--output_dir", out]) == 0
+    vp = np.loadtxt(os.path.join(out, "demo_VP.txt"))
+    gold = np.loadtxt(golden)
+    for i in range(3):
+        ang = np.degrees(np.arccos(np.clip(
+            abs(np.dot(vp[i], gold[i])), -1, 1)))
+        assert ang < 0.5, f"VP row {i} off by {ang:.3f} deg"
+    rgb = np.asarray(Image.open(os.path.join(out, "demo_aligned_rgb.png")))
+    line = np.asarray(Image.open(os.path.join(out, "demo_aligned_line.png")))
+    assert rgb.shape == (512, 1024, 3) and rgb.dtype == np.uint8
+    assert line.shape == (512, 1024, 3)
+    gold_rgb = np.asarray(Image.open(
+        "/root/reference/assets/preprocessed/demo_aligned_rgb.png")
+    ).astype(np.float64)[..., :3]
+    assert np.abs(rgb - gold_rgb).mean() < 3.0  # /255 units
