@@ -5,6 +5,12 @@ Reference surface: preprocess.py. Writes per input pano:
 - ``{name}_aligned_rgb.png``  VP-aligned pano
 - ``{name}_aligned_line.png`` VP-aligned 3-channel line-segment raster
 or just ``{name}.png`` with --rgbonly.
+
+Panos are independent, so the stage parallelizes across a thread pool
+(--num_workers): the C++ LSD detector and the device dispatch both
+release the GIL, and per-pano host numpy + PNG encode overlap across
+threads. The reference processes its 20k-pano datasets strictly
+serially (preprocess.py:52).
 """
 
 import argparse
@@ -13,6 +19,45 @@ import os
 import sys
 
 import numpy as np
+
+
+def _process_one(i_path, args):
+    from PIL import Image
+    from ..preprocess import pano_edge_detection, rotate_panorama_uint8
+
+    img_ori = np.array(Image.open(i_path).resize(
+        (1024, 512), Image.BICUBIC))[..., :3]
+
+    result = pano_edge_detection(img_ori, q_error=args.q_error,
+                                 refine_iter=args.refine_iter)
+    vp = result["vp"]
+    if vp is None:
+        return f"[WARN] VP detection failed for {i_path}"
+    pano_edge = (result["pano_edge"] > 0)
+
+    # RGB + line raster warped in ONE device program ([H, W, 6]),
+    # uint8 both ways across the link (the PNGs are uint8 anyway)
+    both = np.concatenate(
+        [img_ori, pano_edge.astype(np.uint8) * 255], axis=-1)
+    both = rotate_panorama_uint8(both, vp[2::-1])
+    i_img, l_img = both[..., :3], both[..., 3:]
+
+    basename = os.path.splitext(os.path.basename(i_path))[0]
+    if args.rgbonly:
+        Image.fromarray(i_img) \
+            .save(os.path.join(args.output_dir, f"{basename}.png"))
+    else:
+        with open(os.path.join(args.output_dir,
+                               f"{basename}_VP.txt"), "w") as f:
+            for i in range(3):
+                f.write("%.6f %.6f %.6f\n" % tuple(vp[i]))
+        Image.fromarray(i_img) \
+            .save(os.path.join(args.output_dir,
+                               f"{basename}_aligned_rgb.png"))
+        Image.fromarray(l_img) \
+            .save(os.path.join(args.output_dir,
+                               f"{basename}_aligned_line.png"))
+    return None
 
 
 def main(argv=None):
@@ -25,10 +70,10 @@ def main(argv=None):
                         help="only write the aligned RGB (custom datasets)")
     parser.add_argument("--q_error", default=0.7, type=float)
     parser.add_argument("--refine_iter", default=3, type=int)
+    parser.add_argument("--num_workers", default=0, type=int,
+                        help="thread pool size for pano-level parallelism "
+                             "(0 = min(8, cpu_count))")
     args = parser.parse_args(argv)
-
-    from PIL import Image
-    from ..preprocess import pano_edge_detection, rotate_panorama_uint8
 
     paths = sorted(glob.glob(args.img_glob))
     if len(paths) == 0:
@@ -36,47 +81,32 @@ def main(argv=None):
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
 
+    workers = args.num_workers or min(8, os.cpu_count() or 1)
+    workers = min(workers, len(paths))
+
     try:  # progress: this is the reference's slowest stage (README TODO)
         from tqdm import tqdm
-        paths_iter = tqdm(paths, unit="pano")
     except ImportError:
-        paths_iter = paths
-    for i_path in paths_iter:
-        print("Processing", i_path, flush=True)
-        img_ori = np.array(Image.open(i_path).resize(
-            (1024, 512), Image.BICUBIC))[..., :3]
+        tqdm = None
 
-        result = pano_edge_detection(img_ori, q_error=args.q_error,
-                                     refine_iter=args.refine_iter)
-        vp = result["vp"]
-        if vp is None:
-            print(f"[WARN] VP detection failed for {i_path}",
-                  file=sys.stderr)
-            continue
-        pano_edge = (result["pano_edge"] > 0)
+    if workers <= 1:
+        it = tqdm(paths, unit="pano") if tqdm else paths
+        for i_path in it:
+            warn = _process_one(i_path, args)
+            if warn:
+                print(warn, file=sys.stderr)
+        return 0
 
-        # RGB + line raster warped in ONE device program ([H, W, 6]),
-        # uint8 both ways across the link (the PNGs are uint8 anyway)
-        both = np.concatenate(
-            [img_ori, pano_edge.astype(np.uint8) * 255], axis=-1)
-        both = rotate_panorama_uint8(both, vp[2::-1])
-        i_img, l_img = both[..., :3], both[..., 3:]
-
-        basename = os.path.splitext(os.path.basename(i_path))[0]
-        if args.rgbonly:
-            Image.fromarray(i_img) \
-                .save(os.path.join(args.output_dir, f"{basename}.png"))
-        else:
-            with open(os.path.join(args.output_dir,
-                                   f"{basename}_VP.txt"), "w") as f:
-                for i in range(3):
-                    f.write("%.6f %.6f %.6f\n" % tuple(vp[i]))
-            Image.fromarray(i_img) \
-                .save(os.path.join(args.output_dir,
-                                   f"{basename}_aligned_rgb.png"))
-            Image.fromarray(l_img) \
-                .save(os.path.join(args.output_dir,
-                                   f"{basename}_aligned_line.png"))
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+    with ThreadPoolExecutor(workers) as pool:
+        futs = {pool.submit(_process_one, p, args): p for p in paths}
+        done = as_completed(futs)
+        if tqdm:
+            done = tqdm(done, total=len(futs), unit="pano")
+        for fut in done:
+            warn = fut.result()
+            if warn:
+                print(warn, file=sys.stderr)
     return 0
 
 
