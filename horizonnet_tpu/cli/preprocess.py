@@ -29,24 +29,25 @@ def _process_one(i_path, args):
         (1024, 512), Image.BICUBIC))[..., :3]
 
     result = pano_edge_detection(img_ori, q_error=args.q_error,
-                                 refine_iter=args.refine_iter)
+                                 refine_iter=args.refine_iter,
+                                 want_pano_edge=not args.rgbonly)
     vp = result["vp"]
     if vp is None:
         return f"[WARN] VP detection failed for {i_path}"
-    pano_edge = (result["pano_edge"] > 0)
-
-    # RGB + line raster warped in ONE device program ([H, W, 6]),
-    # uint8 both ways across the link (the PNGs are uint8 anyway)
-    both = np.concatenate(
-        [img_ori, pano_edge.astype(np.uint8) * 255], axis=-1)
-    both = rotate_panorama_uint8(both, vp[2::-1])
-    i_img, l_img = both[..., :3], both[..., 3:]
 
     basename = os.path.splitext(os.path.basename(i_path))[0]
     if args.rgbonly:
+        i_img = rotate_panorama_uint8(img_ori, vp[2::-1])
         Image.fromarray(i_img) \
             .save(os.path.join(args.output_dir, f"{basename}.png"))
     else:
+        # RGB + line raster warped in ONE device program ([H, W, 6]),
+        # uint8 both ways across the link (the PNGs are uint8 anyway)
+        pano_edge = (result["pano_edge"] > 0)
+        both = np.concatenate(
+            [img_ori, pano_edge.astype(np.uint8) * 255], axis=-1)
+        both = rotate_panorama_uint8(both, vp[2::-1])
+        i_img, l_img = both[..., :3], both[..., 3:]
         with open(os.path.join(args.output_dir,
                                f"{basename}_VP.txt"), "w") as f:
             for i in range(3):

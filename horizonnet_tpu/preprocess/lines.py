@@ -264,17 +264,52 @@ def paint_parameter_lines(lines, width, height):
     """Raster the great-circle arcs onto a pano-sized map (vectorized).
 
     Ref: pano_lsd_align.py:777-801 (pixel value = line index, as there).
+    The raster is an output/debug artifact (nothing downstream reads the
+    values, only nonzero-ness), so the arc sampling runs in float32 —
+    half the memory traffic of the f64 geometry path for a map whose
+    precision floor is the pixel grid anyway.
     """
     canvas = np.zeros((height, width))
     if len(lines) == 0:
         return canvas
     num_sample = max(height, width)
-    xyz = _sample_line_arcs(lines, num_sample)          # [N,S,3]
-    uv = xyz2uvN(xyz.reshape(-1, 3), 1)
-    cols = np.minimum(np.floor((uv[:, 0] + np.pi) / (2 * np.pi) * width) + 1,
-                      width).astype(np.int32).reshape(len(lines), num_sample)
-    rows = np.minimum(np.floor((np.pi / 2 - uv[:, 1]) / np.pi * height) + 1,
-                      height).astype(np.int32).reshape(len(lines), num_sample)
+    lines32 = np.asarray(lines, np.float32)
+    pid = lines[:, 3].astype(int)
+    sid = lines32[:, 4] * (2 * np.float32(np.pi))
+    eid = lines32[:, 5] * (2 * np.float32(np.pi))
+    wrap = eid < sid
+    end = np.where(wrap, eid + 2 * np.float32(np.pi), eid)
+    t = np.linspace(0, 1, num_sample, dtype=np.float32)
+    x = sid[:, None] + (end - sid)[:, None] * t[None, :]
+    x = np.where(wrap[:, None], np.mod(x, 2 * np.float32(np.pi)), x)
+    u = x - np.float32(np.pi)                            # [N,S]
+    # v of each great circle at u (computeUVN with per-row planeID roll)
+    n = lines32[:, :3].copy()
+    m2, m3 = pid == 2, pid == 3
+    if m2.any():
+        n[m2] = np.roll(n[m2], 2, axis=1)
+    if m3.any():
+        n[m3] = np.roll(n[m3], 1, axis=1)
+    bc = n[:, [0]] * np.sin(u) + n[:, [1]] * np.cos(u)
+    v = np.arctan(-bc / (n[:, [2]] + np.float32(1e-9)))
+    # uv -> xyz in each row's plane convention, then to planeID=1 uv
+    cu, cv, su, sv = np.cos(u), np.cos(v), np.sin(u), np.sin(v)
+    comp = np.stack([cv * su, cv * cu, sv], axis=-1)     # [N,S,3] local
+    xyz = np.empty_like(comp)
+    ids = (np.arange(3)[None, :] + (pid - 1)[:, None]) % 3
+    for k in range(3):
+        xyz[np.arange(len(lines)), :, ids[:, k]] = comp[:, :, k]
+    x1, x2, x3 = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    norm_xy = np.maximum(np.sqrt(x1 ** 2 + x2 ** 2), np.float32(1e-6))
+    norm = np.sqrt(x1 ** 2 + x2 ** 2 + x3 ** 2)
+    vv = np.arcsin(np.clip(x3 / norm, -1, 1))
+    uu = np.arcsin(np.clip(x1 / norm_xy, -1, 1))
+    uu = np.where((x2 < 0) & (uu >= 0), np.float32(np.pi) - uu, uu)
+    uu = np.where((x2 < 0) & (uu < 0), -np.float32(np.pi) - uu, uu)
+    cols = np.minimum(np.floor((uu + np.pi) / (2 * np.pi) * width) + 1,
+                      width).astype(np.int32)
+    rows = np.minimum(np.floor((np.pi / 2 - vv) / np.pi * height) + 1,
+                      height).astype(np.int32)
     idx = np.broadcast_to(np.arange(len(lines))[:, None], rows.shape)
     canvas[rows.ravel() - 1, cols.ravel() - 1] = idx.ravel()
     return canvas

@@ -40,7 +40,8 @@ def draw_segments(shape, segments):
 
 
 def pano_edge_detection(img, view_size=320, q_error=0.7, refine_iter=3,
-                        want_edge_maps=False, want_views=False):
+                        want_edge_maps=False, want_views=False,
+                        want_pano_edge=True):
     """img: [H, W, 3] float 0..1 or uint8. Returns a dict with:
 
     lines, vp (6x3: 3 directions + mirrors), views, edges, pano_edge
@@ -110,8 +111,9 @@ def pano_edge_detection(img, view_size=320, q_error=0.7, refine_iter=3,
                   for k, gk in enumerate(groups)]
         clines = np.vstack(groups)
 
-    pano_edge = np.stack([
+    pano_edge = (np.stack([
         paint_parameter_lines(gk, W, H) for gk in groups], -1)
+        if want_pano_edge else None)
 
     return {
         "lines": clines,

@@ -235,6 +235,41 @@ def test_combine_edges_native_event_stream_matches_python():
     assert m == len(merged)
 
 
+def test_paint_parameter_lines_f32_matches_f64_sampling():
+    """The f32 raster fast path lands arcs on the same pixels as the f64
+    geometry-module sampling (boundary flips allowed on <0.5% samples)."""
+    from horizonnet_tpu.preprocess.lines import (paint_parameter_lines,
+                                                 _sample_line_arcs)
+
+    rng = np.random.default_rng(7)
+    n = 200
+    lines = np.zeros((n, 8))
+    v = rng.normal(size=(n, 3))
+    lines[:, :3] = v / np.linalg.norm(v, axis=1, keepdims=True)
+    lines[:, 3] = rng.integers(1, 4, n)
+    a = rng.uniform(0, 1, n)
+    lines[:, 4] = a
+    lines[:, 5] = np.mod(a + rng.uniform(0.02, 0.4, n), 1.0)
+    lines[:, 6] = 0.3
+    lines[:, 7] = 1.0
+
+    W, H = 256, 128
+    canvas = paint_parameter_lines(lines, W, H)
+
+    xyz = _sample_line_arcs(lines, max(W, H))
+    uv = xyz2uvN(xyz.reshape(-1, 3), 1)
+    cols = np.minimum(np.floor((uv[:, 0] + np.pi) / (2 * np.pi) * W) + 1,
+                      W).astype(int)
+    rows = np.minimum(np.floor((np.pi / 2 - uv[:, 1]) / np.pi * H) + 1,
+                      H).astype(int)
+    want = np.zeros((H, W), bool)
+    want[rows - 1, cols - 1] = True
+    got = canvas > 0
+    # compare nonzero support (idx 0 paints 0 — ignore, as in reference)
+    mismatch = np.logical_xor(want, got).mean()
+    assert mismatch < 0.005, mismatch
+
+
 GOLDEN_VP = "/root/reference/assets/preprocessed/demo_VP.txt"
 
 
