@@ -53,8 +53,10 @@ def main():
     B = int(os.environ.get("BENCH_B", 8))
     depth = int(os.environ.get("BENCH_DEPTH", 2))
     fmt = os.environ.get("BENCH_FMT", "yuv420")
+    lstm_impl = os.environ.get("BENCH_LSTM", "pallas")
     H, W = 512, 1024
-    model = build_model("resnet50", use_rnn=True, dtype=jnp.bfloat16)
+    model = build_model("resnet50", use_rnn=True, dtype=jnp.bfloat16,
+                        lstm_impl=lstm_impl)
     variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
     # postproc="cuboid" fuses the whole Manhattan fit into the same XLA
     # program; the ingest format (yuv420 planes / raw uint8 RGB) is

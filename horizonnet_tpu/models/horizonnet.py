@@ -47,6 +47,7 @@ class BiLSTM(nn.Module):
     hidden_size: int = 512
     num_layers: int = 2
     dropout: float = 0.5
+    impl: str = "scan"   # "pallas": fused VMEM-resident serving kernel
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -68,8 +69,10 @@ class BiLSTM(nn.Module):
                                 (2, 4 * self.hidden_size)),
             })
         rng = self.make_rng("dropout") if (train and self.dropout > 0) else None
+        # The pallas recurrence has no VJP; training always takes scan
+        impl = "scan" if train else self.impl
         return bilstm(x, params, self.hidden_size,
-                      self.dropout if train else 0.0, rng)
+                      self.dropout if train else 0.0, rng, impl=impl)
 
 
 class HorizonNet(nn.Module):
@@ -81,6 +84,7 @@ class HorizonNet(nn.Module):
     seam_pool: bool = False   # wrap-padded maxpool: exact seam equivariance
     bn_momentum: float = 0.1  # torch semantics (--bn_momentum override)
     dtype: jnp.dtype = jnp.float32
+    lstm_impl: str = "scan"   # "pallas" for the fused serving kernel
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -110,6 +114,7 @@ class HorizonNet(nn.Module):
             seq = jnp.transpose(feature, (2, 0, 1))  # [out_w, B, c_last]
             seq = BiLSTM(input_size=feature.shape[1],
                          hidden_size=self.rnn_hidden_size,
+                         impl=self.lstm_impl,
                          name="bi_rnn")(seq, train)
             seq = nn.Dropout(0.5, deterministic=not train)(seq)
             out = nn.Dense(3 * self.step_cols,

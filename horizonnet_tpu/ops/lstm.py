@@ -13,9 +13,11 @@ Design (MXU-first):
 - Gate order follows PyTorch (i, f, g, o) so published checkpoints convert
   weight-for-weight.
 
-The recurrent matmul is [2B, H] x [H, 4H] per step — at H=512, B>=8 this
-keeps the MXU busy; a fused Pallas kernel that keeps h/c and W_hh in VMEM
-across all 256 steps is provided in ops/pallas_lstm.py.
+The recurrent matmul is [B, H] x [H, 4H] per direction per step. The
+scan form is the differentiable training path; for serving, the fused
+Pallas kernel in ops/pallas_lstm.py (impl="pallas") keeps h/c and W_hh
+in VMEM across all 256 steps instead of re-reading the weights from HBM
+every step.
 """
 
 from typing import Optional
@@ -59,8 +61,14 @@ def lstm_params_init(key, input_size, hidden_size, num_layers=2,
     return layers
 
 
-def _bidir_layer(x, p, hidden_size):
-    """One bidirectional layer. x: [T, B, I] -> [T, B, 2H]."""
+def _bidir_layer(x, p, hidden_size, impl="scan"):
+    """One bidirectional layer. x: [T, B, I] -> [T, B, 2H].
+
+    impl: "scan" (lax.scan recurrence, differentiable — the training
+    path) or "pallas" / "pallas_interpret" (fused VMEM-resident kernel,
+    ops/pallas_lstm.py — the serving path; W_hh and h/c never leave
+    VMEM across the 256 steps).
+    """
     T, B, _ = x.shape
     D = p["w_ih"].shape[0]
     H = hidden_size
@@ -79,6 +87,14 @@ def _bidir_layer(x, p, hidden_size):
         xw = jnp.stack([xw[:, 0], xw[::-1, 1]], axis=1)
 
     w_hh_t = jnp.swapaxes(p["w_hh"], 1, 2).astype(x.dtype)  # [D, H, 4H]
+
+    if impl in ("pallas", "pallas_interpret"):
+        from .pallas_lstm import bilstm_recurrence_pallas
+        ys = bilstm_recurrence_pallas(xw, w_hh_t,
+                                      interpret=impl == "pallas_interpret")
+        if D == 2:
+            return jnp.concatenate([ys[:, 0], ys[::-1, 1]], axis=-1)
+        return ys[:, 0]
 
     def step(carry, xw_t):
         h, c = carry  # [D, B, H]
@@ -103,7 +119,7 @@ def _bidir_layer(x, p, hidden_size):
 
 
 def bilstm(x, params, hidden_size, dropout_rate=0.0,
-           dropout_rng: Optional[jax.Array] = None):
+           dropout_rng: Optional[jax.Array] = None, impl="scan"):
     """Multi-layer bidirectional LSTM. x: [T, B, I] -> [T, B, 2H].
 
     Dropout (rate 0.5 in the reference) applies between layers only, matching
@@ -112,7 +128,7 @@ def bilstm(x, params, hidden_size, dropout_rate=0.0,
     h = x
     n = len(params)
     for li, p in enumerate(params):
-        h = _bidir_layer(h, p, hidden_size)
+        h = _bidir_layer(h, p, hidden_size, impl=impl)
         if dropout_rate > 0.0 and dropout_rng is not None and li < n - 1:
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)

@@ -149,3 +149,45 @@ def test_bilstm_init_shapes_and_jit():
     x = jnp.zeros((8, 2, 1024))
     y = jax.jit(lambda x: bilstm(x, params, 512))(x)
     assert y.shape == (8, 2, 1024)
+
+
+def test_pallas_lstm_recurrence_matches_scan():
+    """The fused Pallas recurrence (interpret mode on CPU) is bit-exact
+    with the lax.scan path at f32, through the public bilstm API."""
+    from horizonnet_tpu.ops.lstm import lstm_params_init, bilstm
+
+    params = lstm_params_init(jax.random.PRNGKey(0), 48, 32, num_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 48), jnp.float32)
+    y_scan = bilstm(x, params, 32)
+    y_pal = bilstm(x, params, 32, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_pal),
+                               rtol=0, atol=1e-6)
+
+
+def test_pallas_lstm_through_model():
+    """HorizonNet(lstm_impl=pallas_interpret) forward == scan forward; the
+    train path must fall back to scan (the kernel has no VJP)."""
+    from horizonnet_tpu.models import build_model
+    from horizonnet_tpu.models.registry import init_model
+
+    m_scan = build_model("resnet18", use_rnn=True)
+    m_pal = build_model("resnet18", use_rnn=True,
+                        lstm_impl="pallas_interpret")
+    v = init_model(m_scan, jax.random.PRNGKey(0), (1, 64, 128, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 3))
+    out_s = m_scan.apply(v, x, train=False)
+    out_p = m_pal.apply(v, x, train=False)
+    for a, b in zip(out_s, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+    # train=True on the pallas model must be differentiable (scan fallback)
+    def loss(params):
+        out, _ = m_pal.apply({"params": params,
+                              "batch_stats": v["batch_stats"]},
+                             x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(2)},
+                             mutable=["batch_stats"])
+        return (out[0] ** 2).mean()
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(g))
