@@ -34,6 +34,10 @@ def main(argv=None):
                         help="panos per device step")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the forward pass")
+    parser.add_argument("--lstm_impl", default="auto",
+                        choices=["auto", "scan", "pallas"],
+                        help="LSTM recurrence: fused Pallas kernel on TPU "
+                             "backends, lax.scan elsewhere (auto)")
     parser.add_argument("--profile_dir", default=None,
                         help="write a jax.profiler trace of the serving "
                              "loop to this directory")
@@ -50,11 +54,18 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     model, variables = load_trained_model(args.pth)
-    if args.bf16:
-        import jax.numpy as jnp
-        from ..models import build_model
+    import jax
+    import jax.numpy as jnp
+    from ..models import build_model
+    lstm_impl = args.lstm_impl
+    if lstm_impl == "auto":
+        # Pallas lowers for TPU targets only; scan everywhere else
+        lstm_impl = ("pallas" if jax.devices()[0].platform == "tpu"
+                     else "scan")
+    if args.bf16 or lstm_impl != "scan":
         model = build_model(model.backbone, model.use_rnn,
-                            dtype=jnp.bfloat16, seam_pool=model.seam_pool)
+                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                            seam_pool=model.seam_pool, lstm_impl=lstm_impl)
 
     import contextlib
     if args.profile_dir:
