@@ -57,6 +57,9 @@ def build_argparser():
                         help="override BatchNorm running-stat momentum")
     parser.add_argument("--num_workers", default=2, type=int,
                         help="batch-prefetch worker threads (0 = sync)")
+    parser.add_argument("--n_model", default=1, type=int,
+                        help="tensor-parallel mesh axis size (conv "
+                             "channels sharded per parallel/sharding.py)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (f32 params)")
     parser.add_argument("--seed", default=594277, type=int)
@@ -153,19 +156,24 @@ def main(argv=None):
         print(f"Resumed from {rp}: epoch {header['epoch']}, "
               f"step {int(state.step)}, best {resume_best:.4f}")
 
-    # Mesh: pure data parallelism over all local devices. The engine
-    # AOT-compiles the step, lays out the state in the executable's
-    # preferred formats and donates it (see train/engine.py).
+    # Mesh: data parallelism over the local devices, optionally crossed
+    # with tensor parallelism (--n_model: conv channels sharded over the
+    # 'model' axis, parallel/sharding.py). The engine AOT-compiles the
+    # step, lays out the state in the executable's preferred formats and
+    # donates it (see train/engine.py).
     from ..train.engine import TrainEngine
     import math
-    n_dev = len(jax.devices())
+    n_model = max(1, args.n_model)
+    assert n_model <= len(jax.devices()), \
+        f"--n_model {n_model} exceeds the {len(jax.devices())} local devices"
+    n_dev = len(jax.devices()) // n_model
     # SPMD needs batch % n_data == 0; use the largest device count that
     # divides the batch (a 2-sample debug run on an 8-device host must
     # not crash, it just uses fewer devices)
     n_data = math.gcd(bs_main + bs_aug, n_dev)
-    mesh = (make_mesh(n_data=n_data, n_model=1,
-                      devices=jax.devices()[:n_data])
-            if n_data > 1 else None)
+    mesh = (make_mesh(n_data=n_data, n_model=n_model,
+                      devices=jax.devices()[:n_data * n_model])
+            if n_data * n_model > 1 else None)
     engine = TrainEngine(model, state, batch_size=bs_main + bs_aug,
                          H=H, W=W, mesh=mesh)
 

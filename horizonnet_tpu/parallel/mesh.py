@@ -5,8 +5,9 @@ The reference's entire distribution story is single-host DataParallel
 
 - axis ``data``: batch sharding; gradients are all-reduced over ICI by XLA
   (GSPMD inserts the psum — there is no hand-written collective here).
-- axis ``model``: reserved for tensor-parallel sharding of the LSTM/head
-  matmuls at larger scales; size 1 at reference scale.
+- axis ``model``: tensor-parallel sharding of the encoder's conv channels
+  (rules in sharding.py; size 1 = pure dp at reference scale, --n_model
+  on the train CLI turns it on).
 
 BatchNorm under this layout computes GLOBAL batch statistics (sync-BN):
 jnp.mean over the sharded batch axis is a global mean under GSPMD. The

@@ -58,13 +58,22 @@ class TrainEngine:
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import state_shardings
+
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
+            # Batch sharded on 'data'; state sharded per the TP rules
+            # (parallel/sharding.py): conv kernels + BN vectors go over
+            # 'model' when the mesh has one, everything else replicates.
+            # With n_model=1 this degenerates to the replicated layout.
+            # out_shardings pins the NEW state to the same layout so the
+            # donated feed-back loop is layout-stable across steps.
+            state_sh = state_shardings(mesh, state_spec)
             jitted = jax.jit(
                 step_fn, donate_argnums=(0,),
-                in_shardings=(jax.tree.map(lambda _: repl, state_spec,
-                                           is_leaf=lambda l: hasattr(l, "shape")),
-                              data, data, data, repl),
+                in_shardings=(state_sh, data, data, data, repl),
+                out_shardings=(state_sh, None),
             )
 
         self.compiled = jitted.lower(state_spec, x_spec, yb_spec, yc_spec,
