@@ -40,6 +40,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from horizonnet_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # warmup compile from disk after first run
+
     from horizonnet_tpu.models import build_model
     from horizonnet_tpu.models.registry import init_model
     from horizonnet_tpu.inference import InferenceEngine

@@ -44,6 +44,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from PIL import Image
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     from ..train.checkpoint import load_trained_model
     from ..inference import inference
 

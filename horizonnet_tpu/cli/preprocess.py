@@ -76,6 +76,9 @@ def main(argv=None):
                              "(0 = min(8, cpu_count))")
     args = parser.parse_args(argv)
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     paths = sorted(glob.glob(args.img_glob))
     if len(paths) == 0:
         print("no images found", file=sys.stderr)

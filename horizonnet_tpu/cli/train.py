@@ -76,6 +76,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..models import build_model
     from ..models.registry import init_model
     from ..data import PanoCorBonDataset

@@ -25,6 +25,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from PIL import Image
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     from ..preprocess import pano_edge_detection, rotate_panorama
 
     img_ori = np.array(Image.open(args.i).resize((1024, 512)))[..., :3]
