@@ -11,7 +11,7 @@ in turns (0..1) in the planeID convention.
 
 import numpy as np
 
-from .sphere import (xyz2uvN, uv2xyzN, computeUVN, computeUVN_vec,
+from .sphere import (uv2xyzN, computeUVN, computeUVN_vec,
                      uv2xyzN_vec)
 
 

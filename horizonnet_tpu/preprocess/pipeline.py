@@ -8,7 +8,7 @@ work: LSD (C++), lifting/merging/Hough/refit (vectorized numpy).
 import numpy as np
 
 from .views import cut_views, cut_views_gray, rgb_to_gray, VIEW_DIRECTIONS
-from .lsd import lsd, lsd_batch
+from .lsd import lsd_batch
 from .lines import (lift_segments_to_sphere, combine_edges,
                     assign_vanishing_type, refit_line_segments,
                     paint_parameter_lines)
