@@ -111,7 +111,7 @@ def main():
                    for r in results)
         return n_batches * B / dt
 
-    n_reps = int(os.environ.get("BENCH_REPS", 3))
+    n_reps = max(1, int(os.environ.get("BENCH_REPS", 3)))
     panos_per_sec = max(serve_loop() for _ in range(n_reps))
     print(json.dumps({
         "metric": f"serving panos/sec (bf16 resnet50_rnn fwd + full cuboid "

@@ -50,15 +50,17 @@ def _run_step(model, variables, batch, n_data, n_model):
 
 
 def test_tp_spec_rules():
+    D = jax.tree_util.DictKey
     k4 = jax.ShapeDtypeStruct((3, 3, 64, 128), jnp.float32)
     vec = jax.ShapeDtypeStruct((128,), jnp.float32)
-    oddv = jax.ShapeDtypeStruct((13,), jnp.float32)
-    path_k = (jax.tree_util.DictKey("conv"), jax.tree_util.DictKey("kernel"))
-    path_s = (jax.tree_util.DictKey("bn"), jax.tree_util.DictKey("scale"))
-    path_b = (jax.tree_util.DictKey("linear"), jax.tree_util.DictKey("bias"))
+    path_k = (D("encoder"), D("conv"), D("kernel"))
+    path_s = (D("height"), D("bn"), D("scale"))
+    path_head = (D("linear"), D("bias"))
     assert tp_spec(path_k, k4, 2) == P(None, None, None, "model")
     assert tp_spec(path_s, vec, 2) == P("model")
-    assert tp_spec(path_b, oddv, 2) == P()        # indivisible: replicate
+    # head/LSTM subtrees replicate even when divisible (design: only the
+    # conv stacks are tensor-sharded)
+    assert tp_spec(path_head, vec, 2) == P()
     assert tp_spec(path_k, k4, 1) == P()          # n_model=1: pure dp
     odd = jax.ShapeDtypeStruct((3, 3, 64, 3), jnp.float32)
     assert tp_spec(path_k, odd, 2) == P()         # indivisible: replicate
