@@ -150,16 +150,25 @@ def infer_coory(coory0, h, z0=50, coorH=512):
     return (-v1 / PI + 0.5) * coorH - 0.5
 
 
-def mean_percentile(vec, p1=25, p2=75):
-    """Robust mean of the inter-percentile band. Ref: misc/post_proc.py:69-72."""
+def mean_percentile(vec, p1=25, p2=75, axis=None):
+    """Robust mean of the inter-percentile band. Ref: misc/post_proc.py:69-72.
+
+    axis=None reduces the whole array (host parity path); an int axis
+    gives the batched jnp form used by the fused device postprocess.
+    """
     xp = _xp(vec)
-    vmin = xp.percentile(vec, p1)
-    vmax = xp.percentile(vec, p2)
     if xp is np:
+        assert axis is None, "axis batching is a jnp-path feature"
+        vmin = np.percentile(vec, p1)
+        vmax = np.percentile(vec, p2)
         return vec[(vmin <= vec) & (vec <= vmax)].mean()
     # jnp path: masked mean (static shape)
+    keep = axis is not None
+    vmin = xp.percentile(vec, p1, axis=axis, keepdims=keep)
+    vmax = xp.percentile(vec, p2, axis=axis, keepdims=keep)
     mask = (vmin <= vec) & (vec <= vmax)
-    return xp.sum(xp.where(mask, vec, 0.0)) / xp.maximum(xp.sum(mask), 1)
+    return (xp.sum(xp.where(mask, vec, 0.0), axis)
+            / xp.maximum(xp.sum(mask, axis), 1))
 
 
 def refine_by_fix_z(coory0, coory1, z0=50, coorH=512):

@@ -16,6 +16,7 @@ SURVEY.md §7).
 """
 
 import sys
+from collections import OrderedDict
 
 import numpy as np
 import jax
@@ -168,9 +169,12 @@ class InferenceEngine:
         return self.compiled(self.variables, x_dev)
 
     def __call__(self, x):
-        """x: [B, H, W, 3] (float32 in [0,1], or uint8 if input_uint8).
-        Returns device arrays (bon, cor_prob) WITHOUT blocking — call
-        np.asarray on the results to synchronize."""
+        """x: [B, H, W, 3] (float32 in [0,1], or uint8 if input_uint8;
+        packed [B, 6, H/2, W/2] planes for input_format="yuv420").
+        Returns device arrays WITHOUT blocking — call np.asarray on the
+        results to synchronize. The result pair depends on the postproc
+        mode: (bon [B,2,W], cor_prob [B,1,W]) by default, or
+        (cor_id [B,8,2] normalized uv, z1 [B]) with postproc="cuboid"."""
         return self.run(self.put(x))
 
     def update_variables(self, variables):
@@ -180,15 +184,26 @@ class InferenceEngine:
         self.variables = _format_put(variables, v_fmt)
 
 
-_ENGINE_CACHE = {}
+# Engine cache for the convenience net_forward/inference path. Entries
+# hold STRONG references to their (model, variables) key objects: the key
+# uses id(), and CPython reuses a freed object's id — without the pinned
+# refs, new weights allocated at a recycled address would silently hit a
+# stale engine. Bounded LRU so swapped-out configs release their device
+# parameter copies.
+_ENGINE_CACHE = OrderedDict()
+_ENGINE_CACHE_MAX = 4
 
 
 def _get_engine(model, variables, B, H, W, flip, rotate):
     key = (id(model), id(variables), B, H, W, bool(flip), tuple(rotate))
-    eng = _ENGINE_CACHE.get(key)
-    if eng is None:
-        eng = InferenceEngine(model, variables, B, H, W, flip, rotate)
-        _ENGINE_CACHE[key] = eng
+    hit = _ENGINE_CACHE.get(key)
+    if hit is not None:
+        _ENGINE_CACHE.move_to_end(key)
+        return hit[0]
+    eng = InferenceEngine(model, variables, B, H, W, flip, rotate)
+    _ENGINE_CACHE[key] = (eng, model, variables)
+    while len(_ENGINE_CACHE) > _ENGINE_CACHE_MAX:
+        _ENGINE_CACHE.popitem(last=False)
     return eng
 
 
@@ -265,7 +280,10 @@ def inference(model, variables, x, flip=False, rotate=(), visualize=False,
     x: [B, H, W, 3] in [0,1]. Returns a list of (cor_id, z0, z1, vis_out)
     per pano (the reference handles B=1 only; we return a list).
     """
-    x = jnp.asarray(x, jnp.float32)
+    # Host-side dtype normalization only: a jnp.asarray here would commit
+    # the batch to device and the engine's device_put would re-land it
+    # (the 2x-upload anti-pattern put()'s docstring warns about)
+    x = np.asarray(x, np.float32)
     B, H, W, _ = x.shape
     bon, cor = net_forward(model, variables, x, flip, rotate)
     bon = np.asarray(bon)

@@ -52,8 +52,10 @@ def find_peaks_device(signal, r=29, min_v=0.05, max_peaks=32):
 
     Returns (locs [max_peaks] int32, vals [max_peaks], valid [max_peaks] bool)
     with peaks sorted by location; invalid slots padded with loc=-1. Top-K
-    selection by value happens only when more than max_peaks peaks exist
-    (callers pass max_peaks=4 for the cuboid N=4 path).
+    selection by value happens only when more than max_peaks peaks exist.
+    The fused cuboid serving path uses its own exactly-4 variant instead
+    (postproc/device.py find_4_peaks: no validity mask — degenerate slots
+    are seeded with collision-free fallback columns before top_k).
     """
     n = signal.shape[-1]
     max_v = circular_max_filter_1d(signal, r)

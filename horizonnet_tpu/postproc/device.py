@@ -25,19 +25,9 @@ tests/test_postproc_device.py).
 import jax
 import jax.numpy as jnp
 
-from ..geometry.equirect import PI, coor2xy, coory2v_up, infer_coory, xy2coor
+from ..geometry.equirect import (PI, coor2xy, coory2v_up, infer_coory,
+                                 mean_percentile, xy2coor)
 from ..ops.filters import circular_max_filter_1d
-
-
-def _percentile_band_mean(z, lo=25.0, hi=75.0):
-    """Mean of the inter-percentile band along the last axis.
-
-    Device twin of geometry.equirect.mean_percentile (ref post_proc.py:69-72).
-    """
-    vmin = jnp.percentile(z, lo, axis=-1, keepdims=True)
-    vmax = jnp.percentile(z, hi, axis=-1, keepdims=True)
-    mask = (vmin <= z) & (z <= vmax)
-    return jnp.sum(jnp.where(mask, z, 0.0), -1) / jnp.maximum(mask.sum(-1), 1)
 
 
 def vote_sorted(svals, m, tol):
@@ -80,11 +70,15 @@ def vote_sorted(svals, m, tol):
              - jnp.take_along_axis(cs0, bi, -1))[..., 0]
     span_fit = sum_b / span_b
 
-    # Median fallback (np.median semantics over the m valid entries)
+    # Median fallback (np.median semantics over the m valid entries);
+    # an empty row (m == 0, all padding) yields 0.0 rather than reading
+    # the +inf padding — defense in depth, find_4_peaks guarantees every
+    # segment is non-empty
     lo_i = jnp.maximum((m - 1) // 2, 0)[..., None]
     hi_i = jnp.maximum(m // 2, 0)[..., None]
     med = 0.5 * (jnp.take_along_axis(svals, lo_i, -1)
                  + jnp.take_along_axis(svals, hi_i, -1))[..., 0]
+    med = jnp.where(m > 0, med, 0.0)
 
     has = jnp.any(ok, -1) & (m >= tol)
     best_fit = jnp.where(has, span_fit, med)
@@ -104,11 +98,16 @@ def find_4_peaks(signal, r_px):
     """
     W = signal.shape[-1]
     mx = circular_max_filter_1d(signal, r_px)
-    neg = jnp.where((mx == signal) & (signal > 0.0), signal, -jnp.inf)
-    vals, locs = jax.lax.top_k(neg, 4)
-    valid = jnp.isfinite(vals)
-    fallback = jnp.broadcast_to(jnp.arange(4) * (W // 4), locs.shape)
-    locs = jnp.where(valid, locs, fallback)
+    cand = jnp.where((mx == signal) & (signal > 0.0), signal, -jnp.inf)
+    # Seed the 4 evenly spaced fallback columns with tiny distinct values
+    # BEFORE top_k: real peaks (post-sigmoid, >> 1e-12) always outrank
+    # them, and because top_k indices are distinct by construction the 4
+    # returned columns can never collide (a fallback slot equal to a
+    # valid peak would otherwise duplicate it, emptying one wall segment
+    # and sending its vote to the +inf padding).
+    bump = jnp.full((W,), -jnp.inf).at[jnp.arange(4) * (W // 4)].set(
+        jnp.arange(4, 0, -1) * 1e-12)
+    _, locs = jax.lax.top_k(jnp.maximum(cand, bump), 4)
     return jnp.sort(locs, -1)
 
 
@@ -127,7 +126,7 @@ def postprocess_cuboid_batch(y_bon, y_cor, H=512, W=1024, z0=50.0, r=0.05):
 
     # refine_by_fix_z: robust second-plane height (ref post_proc.py:109-123)
     c0 = z0 / jnp.tan(coory2v_up(ceil, H))
-    z1 = _percentile_band_mean(c0 * jnp.tan(coory2v_up(floor, H)))
+    z1 = mean_percentile(c0 * jnp.tan(coory2v_up(floor, H)), axis=-1)
     tol = jnp.abs(0.16 * z1 / 1.6)
 
     # Corner columns and the wall-segment id of every column

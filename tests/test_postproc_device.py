@@ -74,6 +74,40 @@ def test_find_4_peaks_matches_host():
         assert np.array_equal(np.sort(want), got), trial
 
 
+def test_find_4_peaks_degenerate_no_collision():
+    """A single peak AT a fallback column must not duplicate it.
+
+    Regression: the old fallback substituted fixed columns 0/W4/W2/3W4 by
+    slot position without checking against valid peaks; a lone peak at
+    e.g. column W//4 produced duplicate locs, an empty wall segment, and
+    +inf corners downstream.
+    """
+    for peak_col in (0, W // 4, W // 2, 3 * W // 4, 100):
+        sig = np.zeros(W)
+        sig[peak_col] = 0.9
+        locs = np.asarray(find_4_peaks(jnp.asarray(sig, jnp.float32)[None],
+                                       r_px=26))[0]
+        assert len(np.unique(locs)) == 4, (peak_col, locs)
+        assert peak_col in locs
+
+
+def test_postprocess_cuboid_batch_degenerate_is_finite():
+    """Degenerate corner heatmaps (0..2 usable peaks) yield finite output
+    where the host path would crash on the 4-wall assert."""
+    rng = np.random.default_rng(5)
+    bon, _ = _synthetic_raw(rng)
+    for sig in (np.zeros(W),                       # no peaks at all
+                np.eye(1, W, W // 4)[0] * 0.9,     # one peak on a fallback
+                _corner_heatmap([100.0, 101.0])):  # peaks merged by radius
+        cid, z1 = postprocess_cuboid_batch(
+            jnp.asarray(bon, jnp.float32)[None],
+            jnp.asarray(sig, jnp.float32)[None], H, W)
+        cid, z1 = np.asarray(cid), np.asarray(z1)
+        assert np.all(np.isfinite(cid)) and np.isfinite(z1[0]), sig.sum()
+        assert cid.shape == (1, 8, 2)
+        assert (cid >= 0).all() and (cid <= 1).all()
+
+
 def _synthetic_raw(rng, z1=-80.0):
     """Model-like raw outputs for a random cuboid room."""
     w, d = rng.uniform(4, 10), rng.uniform(3, 8)
