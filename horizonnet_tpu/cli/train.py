@@ -269,13 +269,23 @@ def main(argv=None):
                     vc_all = np.clip(np.asarray(vc_all), eps, 1 - eps)
                 except Exception:
                     vb_all = None
+                n_placeheld = 0
                 for i in range(nb):
                     img, y_bon, y_cor, gt_cor = samples[i]
                     true_eval = new_general_losses()
                     try:
                         if vb_all is None:
-                            raise RuntimeError("batched forward failed")
-                        vb, vp = vb_all[i], vc_all[i]
+                            # Chunk forward failed (transient device
+                            # error): retry THIS sample alone through the
+                            # fixed-batch engine so one bad dispatch
+                            # doesn't zero a whole bsv-chunk's metrics
+                            # and skew best-checkpoint selection
+                            x1 = np.broadcast_to(img, (bsv, *img.shape))
+                            vb1, vc1 = valid_engine(np.ascontiguousarray(x1))
+                            vb = np.asarray(vb1)[0]
+                            vp = np.clip(np.asarray(vc1)[0], eps, 1 - eps)
+                        else:
+                            vb, vp = vb_all[i], vc_all[i]
                         # Validation losses from the same forward (the
                         # engine emits sigmoid probs; BCE from probs ==
                         # BCE-with-logits)
@@ -288,6 +298,7 @@ def main(argv=None):
                                                       force_raw=True)
                         dt_cor_id = dt_cor_id * [1024, 512]
                     except Exception:
+                        n_placeheld += 1
                         losses = {"bon": 0.0, "cor": 0.0, "total": 0.0}
                         dt_cor_id = np.array([
                             [k // 2 * 1024, 256 - ((k % 2) * 2 - 1) * 120]
@@ -298,6 +309,10 @@ def main(argv=None):
                         losses[m] = float(vals[0]) if vals else 0.0
                     for k, v in losses.items():
                         valid_loss[k] = valid_loss.get(k, 0) + v
+                if n_placeheld:
+                    print(f"[WARN] validation: {n_placeheld}/{nb} samples "
+                          f"in chunk {j0 // bsv} fell back to placeholder "
+                          f"metrics after forward failure", file=sys.stderr)
             n = len(dataset_valid)
             if tb is not None:
                 for k, v in valid_loss.items():

@@ -203,12 +203,16 @@ def _tri_tri_intersection_areas(tris, clip):
     e = B1 - B0
     denom = d[..., 0] * e[..., 1] - d[..., 1] * e[..., 0]  # [N,3,3]
     f = B0 - A0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (f[..., 0] * e[..., 1] - f[..., 1] * e[..., 0]) / denom
-        s = (f[..., 0] * d[..., 1] - f[..., 1] * d[..., 0]) / denom
-    hit = (np.abs(denom) > _EPS) & (t >= -_EPS) & (t <= 1 + _EPS) \
+    # Parallel/degenerate edge pairs (|denom| ~ 0) never intersect: mask
+    # the denominator BEFORE dividing so no inf/NaN is ever produced
+    # (keeps eval warning-clean instead of relying on errstate + masking)
+    denom_ok = np.abs(denom) > _EPS
+    safe_denom = np.where(denom_ok, denom, 1.0)
+    t = (f[..., 0] * e[..., 1] - f[..., 1] * e[..., 0]) / safe_denom
+    s = (f[..., 0] * d[..., 1] - f[..., 1] * d[..., 0]) / safe_denom
+    hit = denom_ok & (t >= -_EPS) & (t <= 1 + _EPS) \
         & (s >= -_EPS) & (s <= 1 + _EPS)
-    pt = A0 + t[..., None] * d
+    pt = A0 + np.where(hit, t, 0.0)[..., None] * d
     pt = np.where(hit[..., None], pt, np.nan)
     cand[:, 6:15] = pt.reshape(N, 9, 2)
 

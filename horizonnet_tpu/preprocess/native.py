@@ -8,9 +8,10 @@ track the numpy reference implementation in lines.py to rounding error
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
+
+from ._build import build_and_load
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "merge.cpp")
@@ -18,20 +19,13 @@ _LIB = os.path.join(_DIR, "libmerge.so")
 _lib = None
 
 
-def _build():
-    cmd = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
-           "-o", _LIB, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
-
-
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.isfile(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        _build()
-    lib = ctypes.CDLL(_LIB)
+    # build_and_load serializes check+compile+dlopen and publishes the
+    # .so atomically (the preprocess CLI races many threads into here)
+    lib = build_and_load(_SRC, _LIB, extra_flags=("-ffp-contract=off",))
     lib.combine_edges_merge.restype = ctypes.c_int
     lib.combine_edges_merge.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int]
