@@ -30,6 +30,13 @@ def main(argv=None):
     parser.add_argument("--min_v", default=None, type=float)
     parser.add_argument("--force_cuboid", action="store_true")
     parser.add_argument("--force_raw", action="store_true")
+    parser.add_argument("--device_postproc", action="store_true",
+                        help="fuse the Manhattan post-processing into the "
+                             "device program (cuboid or general per "
+                             "--force_cuboid); only [B, <=32, 2] corners "
+                             "cross back per batch. Incompatible with "
+                             "--force_raw/--visualize/--min_v/--r "
+                             "overrides (those take the host path)")
     parser.add_argument("--batch_size", default=4, type=int,
                         help="panos per device step")
     parser.add_argument("--bf16", action="store_true",
@@ -100,14 +107,48 @@ def _serve(paths, args, model, variables):
     except ImportError:
         pbar = None
 
+    use_device_pp = (args.device_postproc and not args.force_raw
+                     and not args.visualize and args.min_v is None
+                     and args.r == 0.05)
+    if args.device_postproc and not use_device_pp:
+        import sys
+        print("[WARN] --device_postproc ignored: "
+              "--force_raw/--visualize/--min_v/--r take the host path",
+              file=sys.stderr)
+    engine = None
+    if use_device_pp:
+        from ..inference import InferenceEngine
+        from ..postproc import finish_general_batch
+        mode = "cuboid" if args.force_cuboid else "general"
+        engine = InferenceEngine(model, variables,
+                                 batch_size=args.batch_size,
+                                 flip=args.flip, rotate=args.rotate,
+                                 postproc=mode)
+
     for i in range(0, len(paths), args.batch_size):
         chunk = paths[i:i + args.batch_size]
         x = np.stack([load(p) for p in chunk])
-        results = inference(model, variables, x, flip=args.flip,
-                            rotate=args.rotate, visualize=args.visualize,
-                            force_cuboid=args.force_cuboid,
-                            force_raw=args.force_raw,
-                            min_v=args.min_v, r=args.r)
+        if engine is not None:
+            # Fixed-batch engine: pad the tail chunk with repeats
+            nb = len(chunk)
+            if nb < args.batch_size:
+                x = np.concatenate(
+                    [x, np.repeat(x[-1:], args.batch_size - nb, 0)])
+            outs = engine(x)
+            if args.force_cuboid:
+                cid, z1 = (np.asarray(a) for a in outs)
+                results = [(cid[b], 50.0, float(z1[b]), None)
+                           for b in range(nb)]
+            else:
+                results = [(c, z0, z1, None) for c, z0, z1 in
+                           finish_general_batch(outs)[:nb]]
+        else:
+            results = inference(model, variables, x, flip=args.flip,
+                                rotate=args.rotate,
+                                visualize=args.visualize,
+                                force_cuboid=args.force_cuboid,
+                                force_raw=args.force_raw,
+                                min_v=args.min_v, r=args.r)
         for path, (cor_id, z0, z1, vis) in zip(chunk, results):
             k = os.path.split(path)[-1][:-4]
             with open(os.path.join(args.output_dir, k + ".json"), "w") as f:

@@ -93,27 +93,36 @@ class InferenceEngine:
 
     def __init__(self, model, variables, batch_size=1, H=512, W=1024,
                  flip=False, rotate=(), input_uint8=False, postproc=None,
-                 mesh=None, input_format=None):
+                 mesh=None, input_format=None, dct_k=4, dct_quality=87):
         self.model = model
         self.batch_size = batch_size
         self.H, self.W = H, W
         self.postproc = postproc
         if input_format is None:
             input_format = "uint8" if input_uint8 else "float"
-        assert input_format in ("float", "uint8", "yuv420"), input_format
+        assert input_format in ("float", "uint8", "yuv420", "dct"), \
+            input_format
         self.input_format = input_format
         self.input_uint8 = input_format == "uint8"
+        self.dct_k, self.dct_quality = dct_k, dct_quality
         base = _tta_forward_fn(model, bool(flip), tuple(rotate))
         if input_format == "float":
             in_dtype, in_shape = jnp.float32, (batch_size, H, W, 3)
         elif input_format == "uint8":
             # uint8 panos cross the host->device link 4x cheaper than f32
             in_dtype, in_shape = jnp.uint8, (batch_size, H, W, 3)
-        else:
+        elif input_format == "yuv420":
             # YUV 4:2:0 planes (the decoded form of JPEG/video sources):
             # half the bytes of RGB uint8; RGB is rebuilt on device
             in_dtype = jnp.uint8
             in_shape = (batch_size, 6, H // 2, W // 2)
+        else:
+            # Quantized zonal DCT coefficients (the JPEG-like compressed
+            # wire format, ops/dct.py): k=4 is 3.9x fewer bytes than
+            # yuv420; dequant + IDCT + color run inside the program
+            from .ops.dct import dct_wire_shape
+            in_dtype = jnp.int8
+            in_shape = dct_wire_shape(batch_size, H, W, dct_k)
 
         def fn(variables, x):
             if input_format == "uint8":
@@ -121,6 +130,9 @@ class InferenceEngine:
             elif input_format == "yuv420":
                 from .ops.yuv import unpack_yuv420_to_rgb
                 x = unpack_yuv420_to_rgb(x)
+            elif input_format == "dct":
+                from .ops.dct import unpack_dct_to_rgb
+                x = unpack_dct_to_rgb(x, H, W, dct_k, dct_quality)
             bon, cor = base(variables, x)
             if postproc == "cuboid":
                 # Full Manhattan cuboid fit fused into the same XLA program:
@@ -128,6 +140,13 @@ class InferenceEngine:
                 # [B, 3, W] raw outputs (postproc/device.py)
                 from .postproc.device import postprocess_cuboid_batch
                 return postprocess_cuboid_batch(bon, cor[:, 0], H, W)
+            elif postproc == "general":
+                # General (non-cuboid) serving: peaks + projection +
+                # per-segment votes fused on device; the host runs only
+                # the tiny greedy commitment on the ~1.3 KB candidate
+                # summary (postproc/serving.py finish_general_batch)
+                from .postproc.device import postprocess_general_batch
+                return postprocess_general_batch(bon, cor[:, 0], H, W)
             elif postproc is not None:
                 raise ValueError(f"unknown postproc mode {postproc!r}")
             return bon, cor
@@ -172,9 +191,10 @@ class InferenceEngine:
         """x: [B, H, W, 3] (float32 in [0,1], or uint8 if input_uint8;
         packed [B, 6, H/2, W/2] planes for input_format="yuv420").
         Returns device arrays WITHOUT blocking — call np.asarray on the
-        results to synchronize. The result pair depends on the postproc
-        mode: (bon [B,2,W], cor_prob [B,1,W]) by default, or
-        (cor_id [B,8,2] normalized uv, z1 [B]) with postproc="cuboid"."""
+        results to synchronize. The result depends on the postproc mode:
+        (bon [B,2,W], cor_prob [B,1,W]) by default, (cor_id [B,8,2]
+        normalized uv, z1 [B]) with postproc="cuboid", or the candidate
+        tuple for postproc.finish_general_batch with postproc="general"."""
         return self.run(self.put(x))
 
     def update_variables(self, variables):
@@ -250,8 +270,8 @@ def postprocess(y_bon_, y_cor_, H=512, W=1024, force_cuboid=False,
             # Guard against self-intersecting general layouts
             xy2d = np.zeros((len(walls), 2), np.float32)
             for i in range(len(walls)):
-                xy2d[i, walls[i]["type"]] = walls[i]["val"]
-                xy2d[i, walls[i - 1]["type"]] = walls[i - 1]["val"]
+                xy2d[i, walls[i].axis] = walls[i].value
+                xy2d[i, walls[i - 1].axis] = walls[i - 1].value
             if not polygon_is_valid(xy2d):
                 print("Fail to generate valid general layout!! "
                       "Generate cuboid as fallback.", file=sys.stderr)

@@ -48,14 +48,17 @@ def find_peaks_np(signal, r=29, min_v=0.05, N=None):
 
 
 def find_peaks_device(signal, r=29, min_v=0.05, max_peaks=32):
-    """Device peak finder with static output shape.
+    """Device peak finder with static output shape (batch-safe).
 
-    Returns (locs [max_peaks] int32, vals [max_peaks], valid [max_peaks] bool)
-    with peaks sorted by location; invalid slots padded with loc=-1. Top-K
-    selection by value happens only when more than max_peaks peaks exist.
-    The fused cuboid serving path uses its own exactly-4 variant instead
-    (postproc/device.py find_4_peaks: no validity mask — degenerate slots
-    are seeded with collision-free fallback columns before top_k).
+    ``signal [..., W]``. Returns (locs [..., max_peaks] int32,
+    vals [..., max_peaks], valid [..., max_peaks] bool) with peaks sorted
+    by location; invalid slots padded with loc=-1. Top-K selection by
+    value happens only when more than max_peaks peaks exist. Product
+    caller: the fused general-layout serving path
+    (postproc/device.py postprocess_general_batch); the cuboid path uses
+    its own exactly-4 variant (find_4_peaks: no validity mask —
+    degenerate slots are seeded with collision-free fallback columns
+    before top_k).
     """
     n = signal.shape[-1]
     max_v = circular_max_filter_1d(signal, r)
@@ -65,10 +68,10 @@ def find_peaks_device(signal, r=29, min_v=0.05, max_peaks=32):
     vals, locs = jax.lax.top_k(neg, max_peaks)
     valid = jnp.isfinite(vals)
     locs = jnp.where(valid, locs, n + 1)  # push invalid to the end
-    order = jnp.argsort(locs)
-    locs = locs[order]
-    vals = vals[order]
-    valid = valid[order]
+    order = jnp.argsort(locs, axis=-1)
+    locs = jnp.take_along_axis(locs, order, axis=-1)
+    vals = jnp.take_along_axis(vals, order, axis=-1)
+    valid = jnp.take_along_axis(valid, order, axis=-1)
     locs = jnp.where(valid, locs, -1)
     vals = jnp.where(valid, vals, 0.0)
     return locs.astype(jnp.int32), vals, valid

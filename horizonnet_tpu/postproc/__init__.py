@@ -6,10 +6,15 @@ over <= ~32 walls (SURVEY.md §7 hard parts), so it stays on host where it
 costs microseconds.
 """
 
-from .manhattan import (vote, gen_ww, gen_ww_cuboid, gen_ww_general,
+from .manhattan import (Wall, vote, gen_ww, gen_ww_cuboid, gen_ww_general,
                         get_gpid, get_rot_rad, fuv2img, gpid_two_split)
-from .device import postprocess_cuboid_batch, vote_sorted, find_4_peaks
+from .device import (postprocess_cuboid_batch, postprocess_general_batch,
+                     vote_sorted, find_4_peaks)
+from .serving import (corners_from_walls, general_from_candidates,
+                      finish_general_batch)
 
-__all__ = ["vote", "gen_ww", "gen_ww_cuboid", "gen_ww_general",
+__all__ = ["Wall", "vote", "gen_ww", "gen_ww_cuboid", "gen_ww_general",
            "get_gpid", "get_rot_rad", "fuv2img", "gpid_two_split",
-           "postprocess_cuboid_batch", "vote_sorted", "find_4_peaks"]
+           "postprocess_cuboid_batch", "postprocess_general_batch",
+           "vote_sorted", "find_4_peaks", "corners_from_walls",
+           "general_from_candidates", "finish_general_batch"]

@@ -11,9 +11,12 @@ the model forward as one XLA program: the host receives only the final
 ``[B, 8, 2]`` corner array instead of ``[B, 3, W]`` raw outputs — which
 removes the per-pano host round-trip that dominated round-1 serving.
 
-The greedy general-layout fit (gen_ww_general) stays on host: it mutates a
-wall list with insertions (SURVEY.md §7 "hard parts"). Cuboid mode is the
-benchmark/serving path; general mode goes through postproc.manhattan.
+The greedy general-layout commitment (gen_ww_general) stays on host: it
+mutates a wall ring with insertions (SURVEY.md §7 "hard parts"). But its
+INPUTS — peaks, projection, per-segment votes and means — are data-parallel
+and run here (postprocess_general_batch), so general-mode serving ships
+only a ~1.3 KB candidate summary per pano to the host greedy
+(postproc/serving.py) instead of the [3, W] raw outputs.
 
 Numerics: float32 on device vs the host path's float64. The ``vote`` span
 search compares distances against a tolerance, so adversarial inputs near
@@ -27,7 +30,7 @@ import jax.numpy as jnp
 
 from ..geometry.equirect import (PI, coor2xy, coory2v_up, infer_coory,
                                  mean_percentile, xy2coor)
-from ..ops.filters import circular_max_filter_1d
+from ..ops.filters import circular_max_filter_1d, find_peaks_device
 
 
 def vote_sorted(svals, m, tol):
@@ -111,14 +114,12 @@ def find_4_peaks(signal, r_px):
     return jnp.sort(locs, -1)
 
 
-def postprocess_cuboid_batch(y_bon, y_cor, H=512, W=1024, z0=50.0, r=0.05):
-    """Full cuboid postprocess for a batch of raw model outputs.
-
-    y_bon [B, 2, W] boundary angles (radians); y_cor [B, W] corner
-    probability (post-sigmoid). Returns (cor_id [B, 8, 2] normalized uv
-    interleaved ceiling/floor, z1 [B]); z0 is the fixed 50.0 of the
-    reference (inference.py:96).
-    """
+def _plan_projection(y_bon, H, W, z0):
+    """Shared front half of both postproc modes: denormalized boundaries,
+    robust second-plane height z1, vote tolerance, and the ceiling
+    boundary projected onto the floor plane (ref inference.py:90-97).
+    XLA CSEs this when the cuboid fallback shares a program with the
+    general candidates."""
     B = y_bon.shape[0]
     bon = (y_bon / PI + 0.5) * H - 0.5
     ceil = jnp.clip(bon[:, 0], 1, H / 2 - 1)
@@ -129,25 +130,51 @@ def postprocess_cuboid_batch(y_bon, y_cor, H=512, W=1024, z0=50.0, r=0.05):
     z1 = mean_percentile(c0 * jnp.tan(coory2v_up(floor, H)), axis=-1)
     tol = jnp.abs(0.16 * z1 / 1.6)
 
+    cols = jnp.arange(W)
+    colsf = jnp.broadcast_to(cols.astype(ceil.dtype), (B, W))
+    xy = coor2xy(jnp.stack([colsf, ceil], -1), z0, W, H)   # [B, W, 2]
+    return z1, tol, xy
+
+
+def _segment_votes(xy, gpid, tol, n_seg):
+    """Per (segment, axis) consensus vote + plain segment means.
+
+    gpid [B, W] segment id per column in [0, n_seg); returns
+    (fit, score, l1, mean) each [B, n_seg, 2].
+    """
+    B, W, _ = xy.shape
+    seg_mask = gpid[:, None, :] == jnp.arange(n_seg)[None, :, None]
+    vals_ax = jnp.transpose(xy, (0, 2, 1))                         # [B,2,W]
+    masked = jnp.where(seg_mask[:, :, None, :], vals_ax[:, None],
+                       jnp.inf)                                # [B,n,2,W]
+    svals = jnp.sort(masked, -1)
+    m = jnp.broadcast_to(seg_mask.sum(-1)[..., None], (B, n_seg, 2))
+    fit, sc, l1 = vote_sorted(svals, m, jnp.broadcast_to(
+        tol[:, None, None], (B, n_seg, 2)))
+    seg_sum = jnp.where(seg_mask[:, :, None, :], vals_ax[:, None],
+                        0.0).sum(-1)
+    mean = seg_sum / jnp.maximum(m, 1)
+    return fit, sc, l1, mean
+
+
+def postprocess_cuboid_batch(y_bon, y_cor, H=512, W=1024, z0=50.0, r=0.05):
+    """Full cuboid postprocess for a batch of raw model outputs.
+
+    y_bon [B, 2, W] boundary angles (radians); y_cor [B, W] corner
+    probability (post-sigmoid). Returns (cor_id [B, 8, 2] normalized uv
+    interleaved ceiling/floor, z1 [B]); z0 is the fixed 50.0 of the
+    reference (inference.py:96).
+    """
+    B = y_bon.shape[0]
+    z1, tol, xy = _plan_projection(y_bon, H, W, z0)
+
     # Corner columns and the wall-segment id of every column
     r_px = int(round(W * r / 2))
     locs = find_4_peaks(y_cor, r_px)                       # [B, 4]
     cols = jnp.arange(W)
     gpid = (cols[None, :, None] >= locs[:, None, :]).sum(-1) % 4   # [B, W]
 
-    # Project the ceiling boundary onto the floor plane
-    colsf = jnp.broadcast_to(cols.astype(ceil.dtype), (B, W))
-    xy = coor2xy(jnp.stack([colsf, ceil], -1), z0, W, H)   # [B, W, 2]
-
-    # Per (segment, axis) consensus vote on masked, sorted samples
-    seg_mask = gpid[:, None, :] == jnp.arange(4)[None, :, None]    # [B,4,W]
-    vals_ax = jnp.transpose(xy, (0, 2, 1))                         # [B,2,W]
-    masked = jnp.where(seg_mask[:, :, None, :], vals_ax[:, None],
-                       jnp.inf)                                    # [B,4,2,W]
-    svals = jnp.sort(masked, -1)
-    m = jnp.broadcast_to(seg_mask.sum(-1)[..., None], (B, 4, 2))
-    fit, sc, l1 = vote_sorted(svals, m, jnp.broadcast_to(
-        tol[:, None, None], (B, 4, 2)))
+    fit, sc, l1, _ = _segment_votes(xy, gpid, tol, 4)
 
     # Candidate wall per segment: better-scoring axis wins, L1 breaks ties
     # (x on strict win, y on full tie — host tuple compare semantics)
@@ -179,3 +206,42 @@ def postprocess_cuboid_batch(y_bon, y_cor, H=512, W=1024, z0=50.0, r=0.05):
          jnp.stack([cor[..., 0], fy], -1)], axis=2).reshape(B, 8, 2)
     cor_id = cor_id / jnp.asarray([W, H], cor_id.dtype)
     return cor_id, z1
+
+
+def postprocess_general_batch(y_bon, y_cor, H=512, W=1024, z0=50.0,
+                              r=0.05, min_v=0.05, max_peaks=32):
+    """Device half of the general-layout (non-cuboid) serving postproc.
+
+    Everything data-parallel over columns runs here fused with the
+    forward: peak finding (ops/filters.py find_peaks_device), the
+    floor-plane projection, and the per-(segment, axis) consensus votes +
+    means for up to ``max_peaks`` wall segments. The host receives only
+    ~1.3 KB/pano of candidates (vs [3, W] raw outputs) and runs the tiny
+    sequential greedy commitment (postproc/serving.py) on them. The
+    cuboid fit is computed in the SAME program so the host has the
+    reference's invalid-layout fallback (ref inference.py:114-126) at
+    zero extra round-trips; XLA CSEs the shared projection stage.
+
+    Returns (locs [B, K] int32 sorted w/ -1 padding, fit [B, K, 2],
+    score [B, K, 2], l1 [B, K, 2], mean [B, K, 2], z1 [B],
+    cuboid_cor_id [B, 8, 2]).
+    """
+    z1, tol, xy = _plan_projection(y_bon, H, W, z0)
+
+    r_px = int(round(W * r / 2))
+    locs, _, valid = find_peaks_device(y_cor, r=r_px, min_v=min_v,
+                                       max_peaks=max_peaks)
+    n_valid = valid.sum(-1)                                # [B]
+
+    # Reference gpid semantics (misc/post_proc.py:134-139): segment id =
+    # number of peak columns <= col, with the wrapping last group merged
+    # into 0; invalid slots are pushed past W so they never count
+    cols = jnp.arange(W)
+    locs_eff = jnp.where(valid, locs, W + 1)
+    cnt = (cols[None, :, None] >= locs_eff[:, None, :]).sum(-1)  # [B, W]
+    gpid = jnp.where(cnt == n_valid[:, None], 0, cnt)
+
+    fit, sc, l1, mean = _segment_votes(xy, gpid, tol, max_peaks)
+
+    cuboid_cor_id, _ = postprocess_cuboid_batch(y_bon, y_cor, H, W, z0, r)
+    return locs, fit, sc, l1, mean, z1, cuboid_cor_id

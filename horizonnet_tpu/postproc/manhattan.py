@@ -8,11 +8,49 @@ then commit walls greedily (highest score first) while forcing the x/y wall
 types to alternate — inserting or flipping walls when they cannot.
 """
 
+import dataclasses
+
 import numpy as np
 
 from ..geometry.equirect import (
     coorx2u, coor2xy, xy2coor, x_u_solve_y, y_u_solve_x,
 )
+
+
+@dataclasses.dataclass
+class Wall:
+    """One axis-aligned wall of the plan-view layout ring.
+
+    ``axis`` 0 means the wall lies on a plan line x = ``value``; axis 1
+    means y = ``value``. ``seg`` is the source column segment (-1 for
+    walls synthesized during commitment), ``u0``/``u1`` the azimuths of
+    the segment's edge columns. ``origin`` records how the wall got its
+    final shape: "vote" (the segment's consensus vote), "flipped" (axis
+    forced to alternate), or "inferred" (synthesized from a committed
+    neighbor's edge azimuth).
+    """
+
+    axis: int
+    value: float
+    score: float = 0.0
+    seg: int = -1
+    u0: float = -1.0
+    u1: float = -1.0
+    pending: bool = False
+    origin: str = "vote"
+
+    def corner_wall_at(self, u: float) -> "Wall":
+        """The perpendicular wall through this wall's point at azimuth u.
+
+        A committed wall fixes one plan coordinate; the sight-ray at
+        azimuth ``u`` then pins the other — which is exactly the wall a
+        forced corner insertion needs (ref misc/post_proc.py:272-276).
+        """
+        if self.axis == 0:
+            return Wall(axis=1, value=x_u_solve_y(self.value, u),
+                        origin="inferred")
+        return Wall(axis=0, value=y_u_solve_x(self.value, u),
+                    origin="inferred")
 
 
 def fuv2img(fuv, coorW=1024, floorW=1024, floorH=512):
@@ -143,14 +181,14 @@ def vote(vec, tol):
 
 
 def _segment_candidate(xy, gpid, j, tol):
-    """Vote both axes for segment j; pick the better-scoring wall type."""
+    """Vote both axes for segment j; pick the better-scoring wall axis."""
     now_x = xy[gpid == j, 0]
     now_y = xy[gpid == j, 1]
     new_x, x_score, x_l1 = vote(now_x, tol)
     new_y, y_score, y_l1 = vote(now_y, tol)
     if (x_score, -x_l1) > (y_score, -y_l1):
-        return 0, new_x, x_score
-    return 1, new_y, y_score
+        return Wall(axis=0, value=new_x, score=x_score, seg=j)
+    return Wall(axis=1, value=new_y, score=y_score, seg=j)
 
 
 def gen_ww_cuboid(xy, gpid, tol):
@@ -159,114 +197,126 @@ def gen_ww_cuboid(xy, gpid, tol):
     Ref: misc/post_proc.py:205-238.
     """
     assert len(np.unique(gpid)) == 4
-    walls = []
-    for j in range(4):
-        tp, val, score = _segment_candidate(xy, gpid, j, tol)
-        walls.append({"type": tp, "val": val, "score": score})
+    walls = [_segment_candidate(xy, gpid, j, tol) for j in range(4)]
 
-    # If the voted types don't alternate, pick the alternation pattern whose
+    # If the voted axes don't alternate, pick the alternation parity whose
     # member walls carry the higher total score.
     scores = [0.0, 0.0]
-    for j in range(4):
-        if walls[j]["type"] == 0:
-            scores[j % 2] += walls[j]["score"]
-        else:
-            scores[j % 2] -= walls[j]["score"]
+    for j, w in enumerate(walls):
+        scores[j % 2] += w.score if w.axis == 0 else -w.score
     first = 0 if scores[0] > scores[1] else 1
-    for j in range(4):
-        walls[j]["type"] = (first + j) % 2
+    for j, w in enumerate(walls):
+        w.axis = (first + j) % 2
     return walls
+
+
+class _GreedyRing:
+    """State machine committing a ring of candidate walls one at a time.
+
+    The driver repeatedly commits the highest-score pending wall and
+    reconciles it with its already-committed ring neighbors so wall axes
+    alternate. Reconciliation has three moves, applied in this priority:
+
+    - DEFER:  conflict with one committed neighbor -> push the wall back
+      to pending at score - 100 (so every other wall gets a chance
+      first); a second conflict (score < -1) triggers INSERT instead.
+    - INSERT: synthesize the perpendicular wall implied by the committed
+      neighbor's edge azimuth next to it (a new corner).
+    - RESOLVE (both neighbors committed): three same-axis walls in a row
+      flip the middle one (re-voting its value on the new axis); when the
+      neighbors' axes differ the middle span must hold a corner, so the
+      wall is replaced by the two walls its neighbors imply.
+
+    Observable behavior (commit order, tie-breaks, penalties, insertion
+    positions) tracks the reference greedy exactly — IoU parity on
+    general layouts depends on these fallbacks (misc/post_proc.py:241-334).
+    """
+
+    def __init__(self, walls, seg_mean):
+        """``seg_mean(seg, axis)`` -> mean plan coordinate of a segment's
+        samples on one axis (the flip re-vote value). The host path
+        closes over (xy, gpid); the device serving path reads the means
+        the fused XLA program already computed."""
+        self.walls = list(walls)
+        self._seg_mean = seg_mean
+
+    def run(self):
+        while True:
+            i = self._best_pending()
+            if i is None:
+                return self.walls
+            self.walls[i].pending = False
+            self._reconcile(i)
+
+    def _best_pending(self):
+        """Highest-score pending wall; lowest index breaks ties."""
+        best = None
+        for i, w in enumerate(self.walls):
+            if w.pending and (best is None
+                              or w.score > self.walls[best].score):
+                best = i
+        return best
+
+    def _reconcile(self, i):
+        walls = self.walls
+        prv = walls[(i - 1) % len(walls)]
+        nxt = walls[(i + 1) % len(walls)]
+
+        if prv.pending and nxt.pending:
+            return  # neighbors unknown yet: nothing to reconcile
+
+        if prv.pending or nxt.pending:
+            committed = nxt if prv.pending else prv
+            if committed.axis != walls[i].axis:
+                return  # alternates fine
+            if walls[i].score >= -1:
+                # DEFER: retry later at a penalized score
+                walls[i].pending = True
+                walls[i].score -= 100
+            elif not prv.pending:
+                # INSERT before i, at prv's trailing edge azimuth
+                walls.insert(i, prv.corner_wall_at(prv.u1))
+            else:
+                # INSERT after i, at nxt's leading edge azimuth
+                walls.insert((i + 1) % len(walls),
+                             nxt.corner_wall_at(nxt.u0))
+            return
+
+        # RESOLVE: both neighbors committed
+        if prv.axis == nxt.axis:
+            if walls[i].axis == prv.axis:
+                # Three same-axis walls in a row: flip the middle one and
+                # re-vote its value on the new axis (plain segment mean)
+                w = walls[i]
+                w.axis = (w.axis + 1) % 2
+                w.origin = "flipped"
+                w.value = self._seg_mean(w.seg, w.axis)
+        else:
+            # Neighbors differ: this span must contain a corner; replace
+            # it with the two walls the neighbors' edge azimuths imply
+            self.walls[i:i + 1] = [prv.corner_wall_at(prv.u1),
+                                   nxt.corner_wall_at(nxt.u0)]
 
 
 def gen_ww_general(init_coorx, xy, gpid, tol):
     """Greedy highest-score-first wall commitment with forced alternation.
 
-    Intrinsically sequential list manipulation over <= ~32 walls; mirrors
-    the reference algorithm exactly (misc/post_proc.py:241-334) including
-    its score -= 100 retry, forced type flips and corner insertion — IoU
-    parity on general layouts depends on these fallbacks.
+    Intrinsically sequential ring manipulation over <= ~32 walls (host
+    side); the commitment rules live in _GreedyRing. Behavioral contract:
+    misc/post_proc.py:241-334.
     """
     n_seg = len(init_coorx)
     assert n_seg == len(np.unique(gpid))
 
     walls = []
     for j in range(n_seg):
-        tp, val, score = _segment_candidate(xy, gpid, j, tol)
-        u0 = coorx2u(init_coorx[(j - 1 + n_seg) % n_seg])
-        u1 = coorx2u(init_coorx[j])
-        walls.append({"type": tp, "val": val, "score": score,
-                      "action": "ori", "gpid": j, "u0": u0, "u1": u1,
-                      "tbd": True})
-
-    def solve_other(wall, u_key):
-        """Corner implied by a committed wall at one of its edge azimuths."""
-        if wall["type"] == 0:
-            return 1, x_u_solve_y(wall["val"], wall[u_key])
-        return 0, y_u_solve_x(wall["val"], wall[u_key])
-
-    while True:
-        # Highest-score undetermined wall
-        tbd = -1
-        for i in range(len(walls)):
-            if walls[i]["tbd"] and (tbd == -1 or walls[i]["score"] > walls[tbd]["score"]):
-                tbd = i
-        if tbd == -1:
-            break
-
-        walls[tbd]["tbd"] = False
-        p_idx = (tbd - 1 + len(walls)) % len(walls)
-        n_idx = (tbd + 1) % len(walls)
-        num_tbd_neighbor = walls[p_idx]["tbd"] + walls[n_idx]["tbd"]
-
-        if num_tbd_neighbor == 2:
-            continue  # neighbors unknown yet: nothing to reconcile
-
-        if num_tbd_neighbor == 1:
-            same_as_prev = (not walls[p_idx]["tbd"]) and walls[p_idx]["type"] == walls[tbd]["type"]
-            same_as_next = (not walls[n_idx]["tbd"]) and walls[n_idx]["type"] == walls[tbd]["type"]
-            if same_as_prev or same_as_next:
-                if walls[tbd]["score"] >= -1:
-                    # Defer: retry this wall later at a penalized score
-                    walls[tbd]["tbd"] = True
-                    walls[tbd]["score"] -= 100
-                else:
-                    # Deferred twice: force-insert a perpendicular wall
-                    if not walls[p_idx]["tbd"]:
-                        insert_at = tbd
-                        new_type, new_val = solve_other(walls[p_idx], "u1")
-                    else:
-                        insert_at = n_idx
-                        new_type, new_val = solve_other(walls[n_idx], "u0")
-                    walls.insert(insert_at, {
-                        "type": new_type, "val": new_val, "score": 0,
-                        "action": "forced infer", "gpid": -1,
-                        "u0": -1, "u1": -1, "tbd": False})
-            continue
-
-        # Both neighbors determined
-        if walls[p_idx]["type"] == walls[n_idx]["type"]:
-            if walls[tbd]["type"] == walls[p_idx]["type"]:
-                # Three same-type walls in a row: flip the middle one
-                walls[tbd]["type"] = (walls[tbd]["type"] + 1) % 2
-                walls[tbd]["action"] = "forced change"
-                walls[tbd]["val"] = xy[gpid == walls[tbd]["gpid"],
-                                       walls[tbd]["type"]].mean()
-        else:
-            # Neighbors differ: this span needs TWO walls; replace it with
-            # the two corners implied by the neighbors' edge azimuths
-            tp0 = walls[n_idx]["type"]
-            tp1 = walls[p_idx]["type"]
-            _, val0 = solve_other(walls[p_idx], "u1")
-            _, val1 = solve_other(walls[n_idx], "u0")
-            new_walls = [
-                {"type": tp0, "val": val0, "score": 0, "action": "forced infer",
-                 "gpid": -1, "u0": -1, "u1": -1, "tbd": False},
-                {"type": tp1, "val": val1, "score": 0, "action": "forced infer",
-                 "gpid": -1, "u0": -1, "u1": -1, "tbd": False},
-            ]
-            walls = walls[:tbd] + new_walls + walls[tbd + 1:]
-
-    return walls
+        w = _segment_candidate(xy, gpid, j, tol)
+        w.u0 = coorx2u(init_coorx[(j - 1 + n_seg) % n_seg])
+        w.u1 = coorx2u(init_coorx[j])
+        w.pending = True
+        walls.append(w)
+    return _GreedyRing(
+        walls, lambda seg, axis: xy[gpid == seg, axis].mean()).run()
 
 
 def gen_ww(init_coorx, coory, z=50, coorW=1024, coorH=512, floorW=1024,
@@ -289,10 +339,10 @@ def gen_ww(init_coorx, coory, z=50, coorW=1024, coorH=512, floorW=1024,
     cor = []
     for j in range(len(walls)):
         nxt = (j + 1) % len(walls)
-        if walls[j]["type"] == 1:
-            cor.append((walls[nxt]["val"], walls[j]["val"]))
+        if walls[j].axis == 1:
+            cor.append((walls[nxt].value, walls[j].value))
         else:
-            cor.append((walls[j]["val"], walls[nxt]["val"]))
+            cor.append((walls[j].value, walls[nxt].value))
     cor = xy2coor(np.array(cor), z, coorW, coorH, floorW, floorH)
     cor = np.roll(cor, -2 * cor[::2, 0].argmin(), axis=0)
     return cor, walls

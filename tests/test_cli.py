@@ -93,6 +93,63 @@ def test_inference_cli_tiny(tmp_path):
     assert len(dt["uv"]) == 8
 
 
+def test_layout_viewer_cli_headless_preview(tmp_path):
+    """--vis without open3d must degrade to the preview PNG, and
+    --vis_out must render one directly (C14's 3D view, headless)."""
+    from PIL import Image
+    from horizonnet_tpu.cli.layout_viewer import main
+    gt_glob, dt_glob = _write_pair(tmp_path)
+    img_path = str(tmp_path / "pano.png")
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(40, 255, (512, 1024, 3))
+                    .astype(np.uint8)).save(img_path)
+    dt_json = dt_glob.replace("*.json", "room.json")
+    prev = str(tmp_path / "prev.png")
+    assert main(["--img", img_path, "--layout", dt_json,
+                 "--vis", "--vis_out", prev]) == 0
+    strip = np.asarray(Image.open(prev))
+    assert strip.shape == (480, 4 * 640, 3)
+    # The room texture must actually land in every view
+    for k in range(4):
+        tile = strip[:, k * 640:(k + 1) * 640]
+        assert (tile.sum(-1) > 0).mean() > 0.3, k
+
+
+def test_inference_cli_device_postproc(tmp_path):
+    """--device_postproc writes the same JSON schema via the fused
+    device path (cuboid + general modes, incl. tail-chunk padding)."""
+    from PIL import Image
+    from horizonnet_tpu.models import build_model
+    from horizonnet_tpu.models.registry import init_model
+    from horizonnet_tpu.train.checkpoint import save_model
+    from horizonnet_tpu.cli.inference import main
+
+    model = build_model("resnet18", use_rnn=True)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, 512, 128, 3))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_model(ckpt, variables, "resnet18", True)
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for name in ("a", "b", "c"):  # 3 panos, batch 2 -> padded tail
+        Image.fromarray(rng.integers(0, 255, (64, 128, 3), dtype=np.uint8)
+                        .astype(np.uint8)).save(str(img_dir / f"{name}.png"))
+    for mode_flag, out_name in ((["--force_cuboid"], "cub"),
+                                ([], "gen")):
+        out_dir = str(tmp_path / out_name)
+        assert main(["--pth", ckpt, "--img_glob", str(img_dir / "*.png"),
+                     "--output_dir", out_dir, "--batch_size", "2",
+                     "--device_postproc"] + mode_flag) == 0
+        for name in ("a", "b", "c"):
+            with open(os.path.join(out_dir, f"{name}.json")) as f:
+                dt = json.load(f)
+            assert dt["z0"] == 50.0 and np.isfinite(dt["z1"])
+            assert len(dt["uv"]) >= 8 and len(dt["uv"]) % 2 == 0
+            if mode_flag:
+                assert len(dt["uv"]) == 8
+
+
 @pytest.mark.slow
 def test_preprocess_cli_demo(tmp_path):
     """Full preprocess CLI on the demo pano: VP txt + aligned PNG outputs

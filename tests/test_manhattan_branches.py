@@ -44,10 +44,10 @@ def test_forced_change_three_same_type():
              (1, 300.0, 0.5)]
     init_coorx, xy, gpid = _xy_for_segments(specs)
     walls = gen_ww_general(init_coorx, xy, gpid, tol=20)
-    actions = [w["action"] for w in walls]
-    assert "forced change" in actions
-    flipped = walls[actions.index("forced change")]
-    assert flipped["type"] == 1
+    actions = [w.origin for w in walls]
+    assert "flipped" in actions
+    flipped = walls[actions.index("flipped")]
+    assert flipped.axis == 1
 
 
 def test_corner_insertion_between_mixed_neighbors():
@@ -60,8 +60,8 @@ def test_corner_insertion_between_mixed_neighbors():
              (1, 200.0, 0.3)]
     init_coorx, xy, gpid = _xy_for_segments(specs)
     walls = gen_ww_general(init_coorx, xy, gpid, tol=20)
-    actions = [w["action"] for w in walls]
-    assert "forced infer" in actions
+    actions = [w.origin for w in walls]
+    assert "inferred" in actions
     assert len(walls) >= len(specs)  # insertion grew the wall list
 
 
@@ -72,9 +72,9 @@ def test_deferral_then_forced_insert_all_same_type():
     init_coorx, xy, gpid = _xy_for_segments(specs)
     walls = gen_ww_general(init_coorx, xy, gpid, tol=20)
     # Terminated with every wall determined
-    assert all(not w["tbd"] for w in walls)
-    actions = [w["action"] for w in walls]
-    assert ("forced infer" in actions) or ("forced change" in actions)
+    assert all(not w.pending for w in walls)
+    actions = [w.origin for w in walls]
+    assert ("inferred" in actions) or ("flipped" in actions)
 
 
 def test_plain_alternating_path_untouched():
@@ -83,5 +83,5 @@ def test_plain_alternating_path_untouched():
              (1, 150.0, 0.1)]
     init_coorx, xy, gpid = _xy_for_segments(specs)
     walls = gen_ww_general(init_coorx, xy, gpid, tol=20)
-    assert [w["action"] for w in walls] == ["ori"] * 4
-    assert [w["type"] for w in walls] == [0, 1, 0, 1]
+    assert [w.origin for w in walls] == ["vote"] * 4
+    assert [w.axis for w in walls] == [0, 1, 0, 1]

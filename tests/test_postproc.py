@@ -49,7 +49,7 @@ def test_gen_ww_cuboid_recovers_room():
 
     fit, walls = gen_ww(xs, coory, z=50, tol=3, force_cuboid=True)
     assert len(fit) == 4
-    types = [w["type"] for w in walls]
+    types = [w.axis for w in walls]
     assert types in ([0, 1, 0, 1], [1, 0, 1, 0])
     # Recovered corner columns within a couple pixels of ground truth
     got_x = np.sort(fit[:, 0])
@@ -78,7 +78,7 @@ def test_gen_ww_general_recovers_L_room():
     fit, walls = gen_ww(xs, coory, z=z, tol=3, force_cuboid=False)
     assert len(fit) == 6
     # Types alternate around the loop
-    types = [w["type"] for w in walls]
+    types = [w.axis for w in walls]
     for i in range(len(types)):
         assert types[i] != types[i - 1]
     got_x = np.sort(fit[:, 0])

@@ -125,6 +125,78 @@ def _synthetic_raw(rng, z1=-80.0):
     return bon.astype(np.float64), y_cor
 
 
+def _synthetic_general_raw(rng, z1=-80.0):
+    """Model-like raw outputs for an L-shaped (6-corner) room.
+
+    Outer rect [-w1,w1]x[-d1,d1] minus the top-right block beyond
+    (wq, dq); the camera at the plan center sees every wall (the corner
+    azimuths are strictly increasing), so the corner order equals the
+    polygon order.
+    """
+    cx, cy = 512 - 0.5, 256 - 0.5
+    w1, d1 = rng.uniform(6, 10), rng.uniform(5, 8)
+    wq, dq = rng.uniform(2, w1 - 2), rng.uniform(1.5, d1 - 2)
+    plan = np.array([
+        [cx - w1, cy - d1], [cx + w1, cy - d1], [cx + w1, cy + dq],
+        [cx + wq, cy + dq], [cx + wq, cy + d1], [cx - w1, cy + d1]])
+    ceil = xy2coor(plan, 50.0, W, H)
+    ceil = ceil[np.argsort(ceil[:, 0])]
+    floor_y = infer_coory(ceil[:, 1], z1 - 50.0, 50.0, H)
+    cor = np.empty((12, 2))
+    cor[0::2] = ceil
+    cor[1::2] = np.stack([ceil[:, 0], floor_y], -1)
+    bon = cor_2_1d(cor.astype(np.float32), H, W)
+    bon = bon + rng.normal(0, 2e-4, bon.shape)
+    y_cor = _corner_heatmap(ceil[:, 0]) + rng.uniform(0, 1e-4, W)
+    return bon.astype(np.float64), y_cor
+
+
+def test_postprocess_general_batch_matches_host():
+    """Fused general-mode serving path == reference-exact host path."""
+    from horizonnet_tpu.postproc import (postprocess_general_batch,
+                                         finish_general_batch)
+
+    rng = np.random.default_rng(3)
+    B = 4
+    raws = [_synthetic_general_raw(rng) for _ in range(B)]
+    y_bon = np.stack([r[0] for r in raws])
+    y_cor = np.stack([r[1] for r in raws])
+
+    outs = postprocess_general_batch(
+        jnp.asarray(y_bon, jnp.float32), jnp.asarray(y_cor, jnp.float32),
+        H, W)
+    results = finish_general_batch(outs, W, H)
+
+    for b in range(B):
+        cor_id, z0, z1 = postprocess(y_bon[b], y_cor[b], H, W,
+                                     force_cuboid=False)
+        cor_id_d, z0_d, z1_d = results[b]
+        assert cor_id.shape == (12, 2), b           # found all 6 corners
+        assert cor_id_d.shape == cor_id.shape, b
+        assert abs(z1_d - z1) < 0.05 * abs(z1)
+        assert np.abs(cor_id_d - cor_id).max() < 1.5 / 512, (
+            b, np.abs(cor_id_d - cor_id).max())
+
+
+def test_postprocess_general_batch_cuboid_fallback():
+    """Too few corner peaks -> the same program's cuboid fit is used."""
+    from horizonnet_tpu.postproc import (postprocess_general_batch,
+                                         finish_general_batch,
+                                         postprocess_cuboid_batch)
+
+    rng = np.random.default_rng(4)
+    bon, _ = _synthetic_raw(rng)
+    sig = np.zeros(W)
+    sig[300] = 0.9                                  # a single peak
+    yb = jnp.asarray(bon, jnp.float32)[None]
+    yc = jnp.asarray(sig, jnp.float32)[None]
+    outs = postprocess_general_batch(yb, yc, H, W)
+    (cor_id, z0, z1), = finish_general_batch(outs, W, H)
+    cub, z1_c = postprocess_cuboid_batch(yb, yc, H, W)
+    assert np.array_equal(cor_id, np.asarray(cub)[0])
+    assert np.isfinite(z1) and abs(z1 - float(z1_c[0])) < 1e-5
+
+
 def test_postprocess_cuboid_batch_matches_host():
     rng = np.random.default_rng(2)
     B = 4
