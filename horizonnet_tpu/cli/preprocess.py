@@ -21,43 +21,50 @@ import sys
 import numpy as np
 
 
-def _process_one(i_path, args):
+def _process_one(i_path, args, lsd_workers=None):
     from PIL import Image
     from ..preprocess import pano_edge_detection, rotate_panorama_uint8
+    from ..utils.profiling import stage_timer
 
-    img_ori = np.array(Image.open(i_path).resize(
-        (1024, 512), Image.BICUBIC))[..., :3]
+    with stage_timer("preprocess/decode"):
+        img_ori = np.array(Image.open(i_path).resize(
+            (1024, 512), Image.BICUBIC))[..., :3]
 
     result = pano_edge_detection(img_ori, q_error=args.q_error,
                                  refine_iter=args.refine_iter,
-                                 want_pano_edge=not args.rgbonly)
+                                 want_pano_edge=not args.rgbonly,
+                                 lsd_workers=lsd_workers)
     vp = result["vp"]
     if vp is None:
         return f"[WARN] VP detection failed for {i_path}"
 
     basename = os.path.splitext(os.path.basename(i_path))[0]
     if args.rgbonly:
-        i_img = rotate_panorama_uint8(img_ori, vp[2::-1])
-        Image.fromarray(i_img) \
-            .save(os.path.join(args.output_dir, f"{basename}.png"))
+        with stage_timer("preprocess/rotate"):
+            i_img = rotate_panorama_uint8(img_ori, vp[2::-1])
+        with stage_timer("preprocess/encode_png"):
+            Image.fromarray(i_img) \
+                .save(os.path.join(args.output_dir, f"{basename}.png"))
     else:
         # RGB + line raster warped in ONE device program ([H, W, 6]),
         # uint8 both ways across the link (the PNGs are uint8 anyway)
-        pano_edge = (result["pano_edge"] > 0)
-        both = np.concatenate(
-            [img_ori, pano_edge.astype(np.uint8) * 255], axis=-1)
-        both = rotate_panorama_uint8(both, vp[2::-1])
-        i_img, l_img = both[..., :3], both[..., 3:]
+        with stage_timer("preprocess/rotate"):
+            pano_edge = (result["pano_edge"] > 0)
+            both = np.concatenate(
+                [img_ori, pano_edge.astype(np.uint8) * 255], axis=-1)
+            both = rotate_panorama_uint8(both, vp[2::-1])
+            i_img, l_img = both[..., :3], both[..., 3:]
         with open(os.path.join(args.output_dir,
                                f"{basename}_VP.txt"), "w") as f:
             for i in range(3):
                 f.write("%.6f %.6f %.6f\n" % tuple(vp[i]))
-        Image.fromarray(i_img) \
-            .save(os.path.join(args.output_dir,
-                               f"{basename}_aligned_rgb.png"))
-        Image.fromarray(l_img) \
-            .save(os.path.join(args.output_dir,
-                               f"{basename}_aligned_line.png"))
+        with stage_timer("preprocess/encode_png"):
+            Image.fromarray(i_img) \
+                .save(os.path.join(args.output_dir,
+                                   f"{basename}_aligned_rgb.png"))
+            Image.fromarray(l_img) \
+                .save(os.path.join(args.output_dir,
+                                   f"{basename}_aligned_line.png"))
     return None
 
 
@@ -74,6 +81,9 @@ def main(argv=None):
     parser.add_argument("--num_workers", default=0, type=int,
                         help="thread pool size for pano-level parallelism "
                              "(0 = min(8, cpu_count))")
+    parser.add_argument("--profile", action="store_true",
+                        help="print per-stage wall-clock totals to stderr "
+                             "at exit (utils.profiling.stage_timer)")
     args = parser.parse_args(argv)
 
     from ..utils import enable_compilation_cache
@@ -93,17 +103,27 @@ def main(argv=None):
     except ImportError:
         tqdm = None
 
+    def _report():
+        if args.profile:
+            from ..utils.profiling import stage_timer
+            print(stage_timer.report(), file=sys.stderr)
+
     if workers <= 1:
         it = tqdm(paths, unit="pano") if tqdm else paths
         for i_path in it:
             warn = _process_one(i_path, args)
             if warn:
                 print(warn, file=sys.stderr)
+        _report()
         return 0
 
+    # Split the cores between the pano pool and each pano's inner LSD
+    # fan-out: ``workers`` panos in flight each get cpu/workers LSD
+    # threads instead of a full cpu_count pool per pano
+    inner = max(1, (os.cpu_count() or 1) // workers)
     from concurrent.futures import ThreadPoolExecutor, as_completed
     with ThreadPoolExecutor(workers) as pool:
-        futs = {pool.submit(_process_one, p, args): p for p in paths}
+        futs = {pool.submit(_process_one, p, args, inner): p for p in paths}
         done = as_completed(futs)
         if tqdm:
             done = tqdm(done, total=len(futs), unit="pano")
@@ -111,6 +131,7 @@ def main(argv=None):
             warn = fut.result()
             if warn:
                 print(warn, file=sys.stderr)
+    _report()
     return 0
 
 

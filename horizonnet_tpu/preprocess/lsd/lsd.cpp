@@ -10,10 +10,12 @@
 // greedy region growing on aligned pixels -> rectangle approximation ->
 // NFA (number of false alarms) validation with rectangle refinement.
 
+#include <atomic>
 #include <cfloat>
 #include <cmath>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <algorithm>
 
@@ -548,5 +550,36 @@ int lsd_detect(const double *img, int w, int h, double scale,
 }
 
 void lsd_free(double *ptr) { std::free(ptr); }
+
+// Detect segments in n same-sized images with a native thread pool (one
+// ctypes call for the whole 26-view batch instead of a Python thread per
+// view). imgs = n contiguous row-major [h*w] planes; outs[i]/counts[i]
+// receive each image's malloc'd result (free each via lsd_free).
+// n_threads <= 0 uses the hardware concurrency.
+void lsd_detect_batch(const double *imgs, int n, int w, int h, double scale,
+                      double sigma_scale, double quant, double ang_th,
+                      double log_eps, double density_th, int n_bins,
+                      int n_threads, double **outs, int *counts) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      counts[i] = lsd_detect(imgs + (size_t)i * w * h, w, h, scale,
+                             sigma_scale, quant, ang_th, log_eps,
+                             density_th, n_bins, &outs[i]);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto &th : pool) th.join();
+}
 
 }  // extern "C"
