@@ -1,7 +1,10 @@
 """3D layout viewer / mesh export CLI (reference layout_viewer.py surface).
 
-Writes an ASCII PLY (--out); interactive open3d viewing (--vis) is gated on
-open3d availability (not bundled in this environment).
+Writes an ASCII PLY (--out). Interactive open3d viewing (--vis) runs when
+open3d is importable; otherwise --vis degrades to the headless 4-view
+preview PNG renderer (viewer/render.py), also reachable directly via
+--vis_out — so the "look at the layout in 3D" capability works in
+GUI-less environments like this image.
 """
 
 import argparse
@@ -19,7 +22,13 @@ def main(argv=None):
                         help="inference json ({z0,z1,uv}) or GT corner txt")
     parser.add_argument("--out", help="output .ply path")
     parser.add_argument("--vis", action="store_true",
-                        help="open3d interactive view (requires open3d)")
+                        help="open3d interactive view (requires open3d; "
+                             "falls back to --vis_out rendering when "
+                             "open3d is absent)")
+    parser.add_argument("--vis_out", default=None,
+                        help="write a headless 4-view preview PNG of the "
+                             "textured layout (viewer/render.py; no GUI "
+                             "or open3d needed)")
     parser.add_argument("--ignore_floor", action="store_true")
     parser.add_argument("--ignore_ceiling", action="store_true")
     parser.add_argument("--ignore_wall", action="store_true")
@@ -50,13 +59,28 @@ def main(argv=None):
     if args.out:
         write_ply(args.out, xyz, rgb, faces)
         print(f"wrote {args.out}: {len(xyz)} vertices, {len(faces)} faces")
+    vis_out = args.vis_out
+    has_open3d = False
     if args.vis:
         try:
-            import open3d as o3d
+            import open3d  # noqa: F401
+            has_open3d = True
         except ImportError:
-            print("open3d not available in this environment; use --out "
-                  "and an external PLY viewer", file=sys.stderr)
-            return 1
+            if vis_out is None:
+                # No GUI stack in this environment: degrade to the
+                # headless preview so --vis still produces a view
+                vis_out = args.img + ".preview.png"
+                print("open3d not available; writing headless preview to "
+                      f"{vis_out} instead (see also --vis_out)",
+                      file=sys.stderr)
+    if vis_out:
+        from ..viewer.render import render_layout_views
+        strip = render_layout_views(xyz, rgb)
+        Image.fromarray(strip).save(vis_out)
+        print(f"wrote {vis_out}: 4-view preview {strip.shape[1]}x"
+              f"{strip.shape[0]}")
+    if args.vis and has_open3d:
+        import open3d as o3d
         mesh = o3d.geometry.TriangleMesh(
             o3d.utility.Vector3dVector(xyz),
             o3d.utility.Vector3iVector(faces))
