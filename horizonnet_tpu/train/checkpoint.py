@@ -75,8 +75,16 @@ def load_trained_model(path):
     header, payload = _read(path)
     kw = header["kwargs"]
     model = build_model(kw["backbone"], kw["use_rnn"])
-    return model, {"params": payload["params"],
-                   "batch_stats": payload.get("batch_stats", {})}
+
+    def upcast(a):
+        # float16 is a storage-only format (e.g. the committed golden
+        # checkpoint); compute dtype is the model's
+        a = np.asarray(a)
+        return a.astype(np.float32) if a.dtype == np.float16 else a
+
+    return model, {"params": jax.tree.map(upcast, payload["params"]),
+                   "batch_stats": jax.tree.map(
+                       upcast, payload.get("batch_stats", {}))}
 
 
 def save_checkpoint(ckpt_dir, state, backbone, use_rnn, epoch,
