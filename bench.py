@@ -99,8 +99,8 @@ def main():
     from horizonnet_tpu.models.registry import init_model
     from horizonnet_tpu.inference import InferenceEngine
 
-    B = int(os.environ.get("BENCH_B", 8))
-    depth = int(os.environ.get("BENCH_DEPTH", 2))
+    B = int(os.environ.get("BENCH_B", 32))
+    depth = int(os.environ.get("BENCH_DEPTH", 3))
     fmt = os.environ.get("BENCH_FMT", "dct")
     dct_k = int(os.environ.get("BENCH_DCT_K", 4))
     dct_q = int(os.environ.get("BENCH_DCT_Q", 87))

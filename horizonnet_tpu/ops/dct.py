@@ -120,13 +120,17 @@ def pack_dct(rgb, k=4, quality=87):
     cr = np.clip((cr[:, 0::2, 0::2] + cr[:, 0::2, 1::2]
                   + cr[:, 1::2, 0::2] + cr[:, 1::2, 1::2] + 2) >> 2, 0, 255)
 
-    C = _dct_basis(k)
+    C = _dct_basis(k).astype(np.float32)
     luma_q, chroma_q = _quant_steps(k, quality)
     out = []
     for plane, steps in ((y, luma_q), (cb, chroma_q), (cr, chroma_q)):
-        blocks = _blockify(plane.astype(np.float64) - 128.0)
-        coefs = np.einsum("ux,bnxy,vy->bnuv", C, blocks, C)
-        q = np.rint(coefs / steps)
+        # f32 is plenty: the quantization step (>= 1, DC >= 8) dwarfs the
+        # ~1e-3 f32 rounding of an 8x8 DCT, and it packs ~2x faster on
+        # the serving host
+        blocks = _blockify(plane.astype(np.float32) - 128.0)
+        coefs = np.einsum("ux,bnxy,vy->bnuv", C, blocks, C,
+                          optimize=True)
+        q = np.rint(coefs / steps.astype(np.float32))
         out.append(np.clip(q, -128, 127))
     return np.concatenate(out, axis=1).astype(np.int8)
 
