@@ -125,30 +125,36 @@ def _serve(paths, args, model, variables):
                                  flip=args.flip, rotate=args.rotate,
                                  postproc=mode)
 
+    from ..utils.profiling import trace_annotation
+
     for i in range(0, len(paths), args.batch_size):
         chunk = paths[i:i + args.batch_size]
-        x = np.stack([load(p) for p in chunk])
+        with trace_annotation("serve/ingest"):
+            x = np.stack([load(p) for p in chunk])
         if engine is not None:
             # Fixed-batch engine: pad the tail chunk with repeats
             nb = len(chunk)
             if nb < args.batch_size:
                 x = np.concatenate(
                     [x, np.repeat(x[-1:], args.batch_size - nb, 0)])
-            outs = engine(x)
+            with trace_annotation("serve/forward+postproc"):
+                outs = engine(x)
             if args.force_cuboid:
                 cid, z1 = (np.asarray(a) for a in outs)
                 results = [(cid[b], 50.0, float(z1[b]), None)
                            for b in range(nb)]
             else:
-                results = [(c, z0, z1, None) for c, z0, z1 in
-                           finish_general_batch(outs)[:nb]]
+                with trace_annotation("serve/general_finish"):
+                    results = [(c, z0, z1, None) for c, z0, z1 in
+                               finish_general_batch(outs)[:nb]]
         else:
-            results = inference(model, variables, x, flip=args.flip,
-                                rotate=args.rotate,
-                                visualize=args.visualize,
-                                force_cuboid=args.force_cuboid,
-                                force_raw=args.force_raw,
-                                min_v=args.min_v, r=args.r)
+            with trace_annotation("serve/forward+postproc"):
+                results = inference(model, variables, x, flip=args.flip,
+                                    rotate=args.rotate,
+                                    visualize=args.visualize,
+                                    force_cuboid=args.force_cuboid,
+                                    force_raw=args.force_raw,
+                                    min_v=args.min_v, r=args.r)
         for path, (cor_id, z0, z1, vis) in zip(chunk, results):
             k = os.path.split(path)[-1][:-4]
             with open(os.path.join(args.output_dir, k + ".json"), "w") as f:
