@@ -60,6 +60,11 @@ def build_argparser():
     parser.add_argument("--n_model", default=1, type=int,
                         help="tensor-parallel mesh axis size (conv "
                              "channels sharded per parallel/sharding.py)")
+    parser.add_argument("--lstm_impl", default="scan",
+                        choices=["scan", "pallas_train"],
+                        help="LSTM recurrence in the train step: lax.scan "
+                             "or the fused differentiable Pallas kernel "
+                             "(TPU only; ops/pallas_lstm.py)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (f32 params)")
     parser.add_argument("--seed", default=594277, type=int)
@@ -112,9 +117,16 @@ def main(argv=None):
     if args.pth:
         print("Finetune model is given. Ignore --backbone and --no_rnn")
         model, variables = load_trained_model(args.pth)
+        # The checkpoint pins backbone/use_rnn; compute config is ours
+        model = build_model(model.backbone, model.use_rnn, dtype=dtype,
+                            seam_pool=args.seam_pool,
+                            lstm_impl=args.lstm_impl,
+                            bn_momentum=(args.bn_momentum
+                                         if args.bn_momentum else 0.1))
     else:
         model = build_model(args.backbone, not args.no_rnn, dtype=dtype,
                             seam_pool=args.seam_pool,
+                            lstm_impl=args.lstm_impl,
                             bn_momentum=(args.bn_momentum
                                          if args.bn_momentum else 0.1))
         variables = init_model(model, jax.random.PRNGKey(args.seed),

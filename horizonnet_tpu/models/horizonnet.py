@@ -69,8 +69,17 @@ class BiLSTM(nn.Module):
                                 (2, 4 * self.hidden_size)),
             })
         rng = self.make_rng("dropout") if (train and self.dropout > 0) else None
-        # The pallas recurrence has no VJP; training always takes scan
-        impl = "scan" if train else self.impl
+        if train:
+            # The serving kernel ("pallas") has no VJP; training takes the
+            # scan unless the differentiable fused path is asked for
+            impl = self.impl if self.impl.startswith("pallas_train") \
+                else "scan"
+        else:
+            # Eval under a pallas_train config uses the lighter serving
+            # kernel (no residual outputs)
+            impl = {"pallas_train": "pallas",
+                    "pallas_train_interpret": "pallas_interpret"
+                    }.get(self.impl, self.impl)
         return bilstm(x, params, self.hidden_size,
                       self.dropout if train else 0.0, rng, impl=impl)
 

@@ -96,6 +96,16 @@ def _bidir_layer(x, p, hidden_size, impl="scan"):
             return jnp.concatenate([ys[:, 0], ys[::-1, 1]], axis=-1)
         return ys[:, 0]
 
+    if impl in ("pallas_train", "pallas_train_interpret"):
+        # Differentiable fused recurrence (custom VJP, forward + reverse
+        # Pallas kernels) — the training-path twin of impl="pallas"
+        from .pallas_lstm import bilstm_recurrence_trainable
+        ys = bilstm_recurrence_trainable(
+            xw, w_hh_t, impl == "pallas_train_interpret")
+        if D == 2:
+            return jnp.concatenate([ys[:, 0], ys[::-1, 1]], axis=-1)
+        return ys[:, 0]
+
     def step(carry, xw_t):
         h, c = carry  # [D, B, H]
         gates = xw_t + jnp.einsum("dbh,dhg->dbg", h, w_hh_t, precision=prec)

@@ -164,6 +164,73 @@ def test_pallas_lstm_recurrence_matches_scan():
                                rtol=0, atol=1e-6)
 
 
+def test_pallas_train_lstm_forward_and_grads_match_scan():
+    """The differentiable fused recurrence (custom VJP, forward + reverse
+    Pallas kernels, interpret mode on CPU): forward matches scan bit-for-bit
+    at f32 and gradients w.r.t. inputs AND all LSTM params match the scan
+    path's autodiff."""
+    from horizonnet_tpu.ops.lstm import lstm_params_init, bilstm
+
+    params = lstm_params_init(jax.random.PRNGKey(0), 48, 32, num_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 48), jnp.float32)
+    y_scan = bilstm(x, params, 32)
+    y_tr = bilstm(x, params, 32, impl="pallas_train_interpret")
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_tr),
+                               rtol=0, atol=1e-6)
+
+    # A non-trivially-weighted scalar so every output column contributes
+    w = jax.random.normal(jax.random.PRNGKey(2), y_scan.shape)
+
+    def loss(impl):
+        def f(x, params):
+            return (bilstm(x, params, 32, impl=impl) * w).sum()
+        return f
+
+    gx_s, gp_s = jax.grad(loss("scan"), argnums=(0, 1))(x, params)
+    gx_t, gp_t = jax.grad(loss("pallas_train_interpret"),
+                          argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_t),
+                               rtol=1e-5, atol=1e-5)
+    for ls, lt in zip(jax.tree.leaves(gp_s), jax.tree.leaves(gp_t)):
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lt),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_train_lstm_through_model():
+    """HorizonNet(lstm_impl=pallas_train_interpret): the train step takes
+    the fused differentiable path; eval degrades to the serving kernel;
+    both agree with the scan model."""
+    from horizonnet_tpu.models import build_model
+    from horizonnet_tpu.models.registry import init_model
+
+    m_scan = build_model("resnet18", use_rnn=True)
+    m_tr = build_model("resnet18", use_rnn=True,
+                       lstm_impl="pallas_train_interpret")
+    v = init_model(m_scan, jax.random.PRNGKey(0), (1, 64, 128, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 3))
+    out_s = m_scan.apply(v, x, train=False)
+    out_t = m_tr.apply(v, x, train=False)
+    for a, b in zip(out_s, out_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+    def loss(model):
+        def f(params):
+            out, _ = model.apply({"params": params,
+                                  "batch_stats": v["batch_stats"]},
+                                 x, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(2)},
+                                 mutable=["batch_stats"])
+            return (out[0] ** 2).mean() + (out[1] ** 2).mean()
+        return f
+
+    g_s = jax.grad(loss(m_scan))(v["params"])
+    g_t = jax.grad(loss(m_tr))(v["params"])
+    for ls, lt in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lt),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_lstm_through_model():
     """HorizonNet(lstm_impl=pallas_interpret) forward == scan forward; the
     train path must fall back to scan (the kernel has no VJP)."""
