@@ -165,13 +165,22 @@ def main():
     panos_per_sec = max(reps)
 
     # Compute-bound figure: the same program clocked on a device-resident
-    # batch — no host->device ingest in the timed window.
+    # batch — no host->device ingest in the timed window. Completion is
+    # forced by fetching ONE scalar of the last queued result (device
+    # executions finish in dispatch order); jax.block_until_ready does
+    # NOT reliably wait for queued executions on the remote axon backend
+    # and would report a fantasy number here.
+    import jax.numpy as _jnp
+
+    def _force(outs):
+        return float(_jnp.ravel(jax.tree.leaves(outs)[0])[0])
+
     x_dev = engine.put(batches[0])
-    jax.block_until_ready(engine.run(x_dev))
+    _force(engine.run(x_dev))
     n_dev = 48
     t0 = time.time()
     outs = [engine.run(x_dev) for _ in range(n_dev)]
-    jax.block_until_ready(outs[-1])
+    _force(outs[-1])
     device_pps = n_dev * B / (time.time() - t0)
 
     # The BASELINE.json end-to-end metric: raw pano -> VP align -> infer.

@@ -59,13 +59,20 @@ def timed_scan(make_step, state_like, args, S=4, reps=3):
     dstate = jax.device_put(state_like, fmts[0])
     drng = jax.device_put(rng0, fmts[1])
     dargs = [jax.device_put(a, f) for a, f in zip(args, fmts[2:])]
+    import jax.numpy as jnp
+
+    def force(st):
+        # one-scalar fetch forces the queued execution chain;
+        # block_until_ready does not reliably wait on the axon backend
+        return float(jnp.ravel(jax.tree.leaves(st)[0])[0])
+
     dstate = mc(dstate, drng, *dargs)  # warmup
-    jax.block_until_ready(dstate)
+    force(dstate)
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
         dstate = mc(dstate, drng, *dargs)
-        jax.block_until_ready(dstate)
+        force(dstate)
         best = min(best, (time.time() - t0) / S)
     del dstate
     return best, flops, compile_s

@@ -15,8 +15,10 @@ Adam 3e-4. Reports, over N measured steps after warmup:
 - MFU from the compiled step's XLA cost analysis vs the chip's peak.
 
 Usage: python tools/train_throughput.py [steps] [batch] [backbone] [dtype]
+           [lstm_impl]
 (dtype: f32 | bf16 — bf16 matches the reference's AMP recipe and the
-train CLI's --bf16 flag)
+train CLI's --bf16 flag; lstm_impl: scan | pallas_train — the train
+CLI's --lstm_impl)
 """
 
 import os
@@ -30,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_PEAK_BF16_TFLOPS = 394.0 / 2  # one v5e chip: 394 TOPs int8, bf16 half
 
 
-def main(steps=30, bs=24, backbone="resnet50", dtype="bf16"):
+def main(steps=30, bs=24, backbone="resnet50", dtype="bf16",
+         lstm_impl="scan"):
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +53,8 @@ def main(steps=30, bs=24, backbone="resnet50", dtype="bf16"):
 
     model = build_model(backbone, use_rnn=True,
                         dtype=jnp.bfloat16 if dtype == "bf16"
-                        else jnp.float32)
+                        else jnp.float32,
+                        lstm_impl=lstm_impl)
     variables = init_model(model, jax.random.PRNGKey(0))
     tx = make_optimizer("Adam", warmup_poly_schedule(3e-4, max_iters=10000))
     state = create_train_state(model, variables, tx)
@@ -70,16 +74,23 @@ def main(steps=30, bs=24, backbone="resnet50", dtype="bf16"):
     x_dev = jax.device_put(jnp.asarray(x_host))
     jrng = jax.random.PRNGKey(0)
 
+    # Forcing: fetch ONE scalar from the last step's metrics. Device
+    # executions complete in dispatch order, so this forces the whole
+    # chain; jax.block_until_ready has been observed NOT to wait for
+    # queued executions on the remote axon backend (returns in ~1 ms for
+    # a 20-deep queue of 40 ms programs), silently faking the timings.
+    force = lambda m: float(m["total"])  # noqa: E731
+
     # Warmup (first dispatch + donation layout settle)
     jrng, s = jax.random.split(jrng)
-    jax.block_until_ready(engine.step(x_dev, y_bon, y_cor, s))
+    force(engine.step(x_dev, y_bon, y_cor, s))
 
     # (a) device-resident batches
     t0 = time.time()
     for _ in range(steps):
         jrng, s = jax.random.split(jrng)
         m = engine.step(x_dev, y_bon, y_cor, s)
-    jax.block_until_ready(m)
+    force(m)
     dt_dev = (time.time() - t0) / steps
 
     # (b) host-fed batches (full upload every step)
@@ -88,7 +99,7 @@ def main(steps=30, bs=24, backbone="resnet50", dtype="bf16"):
     for _ in range(n_host):
         jrng, s = jax.random.split(jrng)
         m = engine.step(x_host, y_bon, y_cor, s)
-    jax.block_until_ready(m)
+    force(m)
     dt_host = (time.time() - t0) / n_host
 
     # (b2) uint8-fed: what the real input pipeline uploads — the CLI's
@@ -99,7 +110,7 @@ def main(steps=30, bs=24, backbone="resnet50", dtype="bf16"):
     for _ in range(n_host):
         jrng, s = jax.random.split(jrng)
         m = engine.step(cast(jax.device_put(imgs)), y_bon, y_cor, s)
-    jax.block_until_ready(m)
+    force(m)
     dt_u8 = (time.time() - t0) / n_host
 
     # (c) fused scan: S steps per dispatch, ONE compiled program.
@@ -143,16 +154,17 @@ def main(steps=30, bs=24, backbone="resnet50", dtype="bf16"):
              for a, f in zip((x_host, y_bon, y_cor), fmts[1:4])]
     s = jax.device_put(jax.random.PRNGKey(1), fmts[4])
     mstate, tot = mc(mstate, *margs, s)   # warmup dispatch
-    jax.block_until_ready(tot)
+    float(jnp.ravel(tot)[0])              # force (see note above)
     n_scan = max(2, steps // S)
     t0 = time.time()
     for _ in range(n_scan):
         mstate, tot = mc(mstate, *margs, s)
-    jax.block_until_ready(tot)
+    float(jnp.ravel(tot)[0])
     dt_fused = (time.time() - t0) / (n_scan * S)
 
     mb = x_host.nbytes / 1e6
-    print(f"\nbackbone={backbone} bs={bs} {H}x{W} {dtype} ({steps} steps)")
+    print(f"\nbackbone={backbone} bs={bs} {H}x{W} {dtype} "
+          f"lstm={lstm_impl} ({steps} steps)")
     print(f"device-resident: {dt_dev * 1e3:8.1f} ms/step  "
           f"{bs / dt_dev:7.1f} panos/s")
     print(f"fused {S}-scan:    {dt_fused * 1e3:8.1f} ms/step  "
@@ -178,4 +190,5 @@ if __name__ == "__main__":
     a = sys.argv[1:]
     main(int(a[0]) if a else 30, int(a[1]) if len(a) > 1 else 24,
          a[2] if len(a) > 2 else "resnet50",
-         a[3] if len(a) > 3 else "bf16")
+         a[3] if len(a) > 3 else "bf16",
+         a[4] if len(a) > 4 else "scan")
