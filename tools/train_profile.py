@@ -144,7 +144,11 @@ def main(steps=4, bs=24, dtype="bf16"):
             {"params": st.params, "batch_stats": st.batch_stats},
             x, train=True, rngs={"dropout": srng}, mutable=["batch_stats"])
         bl, cl = loss_terms(*out, yb, yc)
-        return st.replace(step=st.step + (bl + cl).astype(jnp.int32) * 0 + 1)
+        # Data-dependent predicate (False for NaN) so XLA can neither
+        # constant-fold the increment nor DCE the forward: `loss * 0`
+        # folds to 0 and silently times an EMPTY program.
+        return st.replace(step=st.step
+                          + (bl + cl > -jnp.inf).astype(jnp.int32))
 
     dt, fl, cs = timed_scan(fwd_step, state, (x, y_bon, y_cor), S=steps)
     rows.append(("fwd_only", dt, fl))
