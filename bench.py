@@ -8,13 +8,13 @@ back-projection) runs ON DEVICE fused into the forward program
 (postproc/device.py), so the host receives only tiny per-pano results;
 uploads of batch k+1 overlap the device compute of batch k.
 
-Ingest wire format (BENCH_FMT): "dct" ships quantized zonal DCT
-coefficients (ops/dct.py; 192 KiB/pano at k=4 — what a JPEG entropy
-decode naturally yields, 3.9x less than yuv420) and the device performs
-dequant + IDCT + color conversion inside the compiled program. The
-corner outputs match the RGB path to sub-pixel on the committed demo
-pano (tests/test_dct.py + the drive check in .claude/skills/verify).
-"yuv420" and "uint8" remain available.
+Ingest wire format (BENCH_FMT): "dct" ships quantized zig-zag DCT
+coefficients (ops/dct.py; 144 KiB/pano at luma_m=15/chroma_m=6 — what a
+JPEG entropy decode naturally yields, 5.3x less than yuv420) and the
+device performs dequant + IDCT + color conversion inside the compiled
+program. The corner outputs match the RGB path to sub-pixel on the
+committed demo pano (tests/test_dct.py + the drive check in
+.claude/skills/verify). "yuv420" and "uint8" remain available.
 
 Reported figures (one JSON line):
 - value: serving panos/sec, best of BENCH_REPS timed loops (the sandbox
@@ -74,7 +74,7 @@ def _demo_batches(B, H, W, n_distinct=3):
     return out
 
 
-def _pack(batches, fmt, dct_k, dct_q):
+def _pack(batches, fmt, dct_ym, dct_cm, dct_q):
     """Client-side wire packing (outside the serve loop, like a JPEG
     decoder feeding the server)."""
     if fmt == "yuv420":
@@ -82,7 +82,8 @@ def _pack(batches, fmt, dct_k, dct_q):
         return [pack_yuv420(b) for b in batches]
     if fmt == "dct":
         from horizonnet_tpu.ops.dct import pack_dct
-        return [pack_dct(b, k=dct_k, quality=dct_q) for b in batches]
+        return [pack_dct(b, luma_m=dct_ym, chroma_m=dct_cm, quality=dct_q)
+                for b in batches]
     if fmt == "uint8":
         return batches
     return [b.astype(np.float32) / 255.0 for b in batches]
@@ -102,8 +103,11 @@ def main():
     B = int(os.environ.get("BENCH_B", 32))
     depth = int(os.environ.get("BENCH_DEPTH", 3))
     fmt = os.environ.get("BENCH_FMT", "dct")
-    dct_k = int(os.environ.get("BENCH_DCT_K", 4))
-    dct_q = int(os.environ.get("BENCH_DCT_Q", 87))
+    from horizonnet_tpu.ops.dct import (DEFAULT_CHROMA_M, DEFAULT_LUMA_M,
+                                        DEFAULT_QUALITY)
+    dct_ym = int(os.environ.get("BENCH_DCT_LUMA_M", DEFAULT_LUMA_M))
+    dct_cm = int(os.environ.get("BENCH_DCT_CHROMA_M", DEFAULT_CHROMA_M))
+    dct_q = int(os.environ.get("BENCH_DCT_Q", DEFAULT_QUALITY))
     lstm_impl = os.environ.get("BENCH_LSTM", "pallas")
     postproc = os.environ.get("BENCH_POSTPROC", "cuboid")
     H, W = 512, 1024
@@ -112,7 +116,8 @@ def main():
     variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
     engine = InferenceEngine(model, variables, batch_size=B, H=H, W=W,
                              input_format=fmt, postproc=postproc,
-                             dct_k=dct_k, dct_quality=dct_q)
+                             dct_luma_m=dct_ym, dct_chroma_m=dct_cm,
+                             dct_quality=dct_q)
 
     if postproc == "general":
         from horizonnet_tpu.postproc import finish_general_batch
@@ -129,7 +134,7 @@ def main():
                            for b in range(len(cid)))
 
     n_batches = max(1, 384 // B)
-    batches = _pack(_demo_batches(B, H, W), fmt, dct_k, dct_q)
+    batches = _pack(_demo_batches(B, H, W), fmt, dct_ym, dct_cm, dct_q)
     wire_bytes = batches[0].nbytes // B
 
     # Warmup: one full upload+forward+postproc+download cycle
@@ -203,7 +208,7 @@ def main():
             t_pre += time.time() - tp
             xb = np.broadcast_to(aligned, (B, H, W, 3))
             res = []
-            finish(engine(_pack([xb], fmt, dct_k, dct_q)[0]), res)
+            finish(engine(_pack([xb], fmt, dct_ym, dct_cm, dct_q)[0]), res)
         # one pano per preprocess; the batched forward amortizes over B
         # panos in steady serving, so count 1/B of the batch step here
         dt = time.time() - t0

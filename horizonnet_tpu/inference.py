@@ -93,7 +93,8 @@ class InferenceEngine:
 
     def __init__(self, model, variables, batch_size=1, H=512, W=1024,
                  flip=False, rotate=(), input_uint8=False, postproc=None,
-                 mesh=None, input_format=None, dct_k=4, dct_quality=87):
+                 mesh=None, input_format=None, dct_luma_m=None,
+                 dct_chroma_m=None, dct_quality=None):
         self.model = model
         self.batch_size = batch_size
         self.H, self.W = H, W
@@ -104,7 +105,15 @@ class InferenceEngine:
             input_format
         self.input_format = input_format
         self.input_uint8 = input_format == "uint8"
-        self.dct_k, self.dct_quality = dct_k, dct_quality
+        from .ops import dct as _dct
+        dct_luma_m = (_dct.DEFAULT_LUMA_M if dct_luma_m is None
+                      else dct_luma_m)
+        dct_chroma_m = (_dct.DEFAULT_CHROMA_M if dct_chroma_m is None
+                        else dct_chroma_m)
+        dct_quality = (_dct.DEFAULT_QUALITY if dct_quality is None
+                       else dct_quality)
+        self.dct_luma_m, self.dct_chroma_m = dct_luma_m, dct_chroma_m
+        self.dct_quality = dct_quality
         base = _tta_forward_fn(model, bool(flip), tuple(rotate))
         if input_format == "float":
             in_dtype, in_shape = jnp.float32, (batch_size, H, W, 3)
@@ -117,12 +126,12 @@ class InferenceEngine:
             in_dtype = jnp.uint8
             in_shape = (batch_size, 6, H // 2, W // 2)
         else:
-            # Quantized zonal DCT coefficients (the JPEG-like compressed
-            # wire format, ops/dct.py): k=4 is 3.9x fewer bytes than
+            # Quantized zig-zag DCT coefficients (the JPEG-like compressed
+            # wire format, ops/dct.py): (15, 6) is 5.3x fewer bytes than
             # yuv420; dequant + IDCT + color run inside the program
-            from .ops.dct import dct_wire_shape
             in_dtype = jnp.int8
-            in_shape = dct_wire_shape(batch_size, H, W, dct_k)
+            in_shape = _dct.dct_wire_shape(batch_size, H, W,
+                                           dct_luma_m, dct_chroma_m)
 
         def fn(variables, x):
             if input_format == "uint8":
@@ -132,7 +141,8 @@ class InferenceEngine:
                 x = unpack_yuv420_to_rgb(x)
             elif input_format == "dct":
                 from .ops.dct import unpack_dct_to_rgb
-                x = unpack_dct_to_rgb(x, H, W, dct_k, dct_quality)
+                x = unpack_dct_to_rgb(x, H, W, dct_luma_m, dct_chroma_m,
+                                      dct_quality)
             bon, cor = base(variables, x)
             if postproc == "cuboid":
                 # Full Manhattan cuboid fit fused into the same XLA program:

@@ -4,25 +4,28 @@ The serving bottleneck on bandwidth-constrained hosts is ingest bytes
 (see README "Serving"): yuv420 planes cost 0.75 MB per 512x1024 pano.
 This format ships quantized zonal DCT coefficients instead — the form a
 JPEG/video decoder's entropy stage naturally produces — and the device
-performs dequantization, the partial inverse DCT (two small matmuls per
-8x8 block, batched over all blocks: pure MXU work), chroma upsampling
-and the YCbCr->RGB transform inside the compiled serving program.
+performs dequantization, the partial inverse DCT, chroma upsampling and
+the YCbCr->RGB transform inside the compiled serving program.
 
-Wire layout: ONE int8 array ``[B, NB, k, k]`` where the first H/8*W/8
-blocks are the luma plane's 8x8 tiles in row-major order and the
-remaining 2 * H/16*W/16 are the 2x2-subsampled Cb then Cr tiles. Each
-tile keeps only the top-left ``k x k`` (low-frequency) zone of its 8x8
-DCT, quantized by the JPEG standard tables at the chosen quality. Bytes
-per 512x1024 pano: k=4 -> 192 KiB (3.9x less than yuv420), k=5 ->
-300 KiB, k=6 -> 432 KiB.
+Wire layout: ONE flat int8 array ``[B, NY*luma_m + 2*NC*chroma_m]``
+(NY = H/8*W/8 luma tiles, NC = H/16*W/16 tiles per 2x2-subsampled
+chroma plane, row-major). Each 8x8 tile keeps its first ``m``
+coefficients in JPEG **zig-zag order** — the energy-compaction order —
+quantized by the JPEG standard tables at the chosen quality. Luma and
+chroma budgets are independent: room-layout geometry lives in luma
+edges, so chroma tolerates a far smaller zone. Bytes per 512x1024 pano:
+(luma_m=15, chroma_m=6) -> 144 KiB, (10, 4) -> 96 KiB; yuv420 is
+768 KiB.
 
-The zonal (fixed-k) truncation is what makes the format device-friendly:
-static shapes, no entropy coding on the wire, and the IDCT collapses to
-``X = C_k^T F C_k`` with a [k, 8] basis — one einsum over [B*NB, k, k].
-In a real deployment the client (or the serving host's entropy decoder)
-produces these coefficients straight from the JPEG bitstream; here
-``pack_dct`` builds them from raw RGB, playing the client's role like
-``pack_yuv420`` does (ops/yuv.py).
+The zonal (fixed-m) truncation is what makes the format device-friendly:
+static shapes, no entropy coding on the wire. Dequantization and the
+partial IDCT collapse into ONE constant matmul per plane — coefficient j
+contributes ``step_j * outer(C[u_j], C[v_j])`` to its 8x8 tile, so
+``tiles = coefs @ M`` with ``M [m, 64]`` (pure MXU work batched over all
+tiles). In a real deployment the client (or the serving host's entropy
+decoder) produces these coefficients straight from the JPEG bitstream;
+here ``pack_dct`` builds them from raw RGB, playing the client's role
+like ``pack_yuv420`` does (ops/yuv.py).
 
 Color transform: identical fixed-point BT.601 full-range pair as
 ops/yuv.py, so dct and yuv420 ingest share the same color contract.
@@ -33,7 +36,7 @@ import functools
 import numpy as np
 import jax.numpy as jnp
 
-# JPEG Annex K quantization tables (quality 50), top-left 8x8
+# JPEG Annex K quantization tables (quality 50), full 8x8
 _JPEG_LUMA = np.array([
     [16, 11, 10, 16, 24, 40, 51, 61],
     [12, 12, 14, 19, 26, 58, 60, 55],
@@ -53,20 +56,38 @@ _JPEG_CHROMA = np.array([
     [99, 99, 99, 99, 99, 99, 99, 99],
     [99, 99, 99, 99, 99, 99, 99, 99]], np.float64)
 
+DEFAULT_LUMA_M = 15   # complete u+v<=4 anti-diagonal triangle
+DEFAULT_CHROMA_M = 6  # u+v<=2 triangle
+DEFAULT_QUALITY = 87
+
 
 @functools.lru_cache(maxsize=None)
-def _dct_basis(k):
-    """Orthonormal DCT-II basis rows 0..k-1: C[u, x], shape [k, 8]."""
+def zigzag_uv(m):
+    """First ``m`` (u, v) positions of the JPEG zig-zag scan of an 8x8."""
+    assert 1 <= m <= 64
+    order = []
+    for d in range(15):
+        diag = [(d - v, v) for v in range(d + 1) if d - v < 8 and v < 8]
+        # canonical JPEG scan: odd anti-diagonals run top-right->bottom-left
+        # ((0,1) then (1,0)), even ones bottom-left->top-right
+        order.extend(diag[::-1] if d % 2 else diag)
+    uv = np.array(order[:m])
+    return uv[:, 0], uv[:, 1]
+
+
+@functools.lru_cache(maxsize=None)
+def _dct_basis_full():
+    """Orthonormal DCT-II basis C[u, x], shape [8, 8]."""
     x = np.arange(8)
-    u = np.arange(k)[:, None]
+    u = np.arange(8)[:, None]
     c = np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
     c *= np.where(u == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
     return c
 
 
 @functools.lru_cache(maxsize=None)
-def _quant_steps(k, quality):
-    """(luma [k,k], chroma [k,k]) step tables at a JPEG quality factor.
+def _quant_steps(m, quality, chroma):
+    """[m] quantization steps along the zig-zag at a JPEG quality factor.
 
     Standard IJG scaling; the DC step is floored at 8 so the orthonormal
     DC range (+-1024 around the -128-centered block) always fits int8 —
@@ -74,35 +95,54 @@ def _quant_steps(k, quality):
     """
     assert 1 <= quality <= 100
     s = 5000 / quality if quality < 50 else 200 - 2 * quality
-    out = []
-    for table in (_JPEG_LUMA, _JPEG_CHROMA):
-        steps = np.floor((table[:k, :k] * s + 50) / 100)
-        steps = np.maximum(steps, 1.0)
-        steps[0, 0] = max(steps[0, 0], 8.0)
-        out.append(steps)
-    return tuple(out)
+    table = _JPEG_CHROMA if chroma else _JPEG_LUMA
+    u, v = zigzag_uv(m)
+    steps = np.floor((table[u, v] * s + 50) / 100)
+    steps = np.maximum(steps, 1.0)
+    steps[0] = max(steps[0], 8.0)
+    return steps
 
 
-def dct_wire_shape(B, H, W, k):
+@functools.lru_cache(maxsize=None)
+def _codec_matrices(m, quality, chroma):
+    """(analysis [64, m], synthesis [m, 64]) with quantization folded in.
+
+    Coefficient j is the projection of the (-128-centered) 8x8 tile onto
+    ``outer(C[u_j], C[v_j])`` divided by its quantization step; synthesis
+    is the transpose basis scaled back by the step. f32 is plenty: the
+    step (>= 1, DC >= 8) dwarfs the ~1e-3 f32 rounding of an 8x8 DCT.
+    """
+    C = _dct_basis_full()
+    u, v = zigzag_uv(m)
+    basis = (C[u][:, :, None] * C[v][:, None, :]).reshape(m, 64)
+    steps = _quant_steps(m, quality, chroma)
+    ana = (basis / steps[:, None]).T.astype(np.float32)
+    syn = (basis * steps[:, None]).astype(np.float32)
+    return ana, syn
+
+
+def dct_wire_shape(B, H, W, luma_m=DEFAULT_LUMA_M, chroma_m=DEFAULT_CHROMA_M):
     """Shape of the packed int8 wire array for a [B, H, W, 3] batch."""
     assert H % 16 == 0 and W % 16 == 0
-    nb = (H // 8) * (W // 8) + 2 * (H // 16) * (W // 16)
-    return (B, nb, k, k)
+    n_y = (H // 8) * (W // 8)
+    n_c = (H // 16) * (W // 16)
+    return (B, n_y * luma_m + 2 * n_c * chroma_m)
 
 
 def _blockify(plane):
-    """[B, H, W] -> [B, H/8*W/8, 8, 8] row-major tiles (numpy)."""
+    """[B, H, W] -> [B, H/8*W/8, 64] row-major tiles (numpy)."""
     B, H, W = plane.shape
     t = plane.reshape(B, H // 8, 8, W // 8, 8)
-    return t.transpose(0, 1, 3, 2, 4).reshape(B, -1, 8, 8)
+    return t.transpose(0, 1, 3, 2, 4).reshape(B, -1, 64)
 
 
-def pack_dct(rgb, k=4, quality=87):
-    """Host/client: RGB uint8 [B, H, W, 3] -> int8 [B, NB, k, k].
+def pack_dct(rgb, luma_m=DEFAULT_LUMA_M, chroma_m=DEFAULT_CHROMA_M,
+             quality=DEFAULT_QUALITY):
+    """Host/client: RGB uint8 [B, H, W, 3] -> flat int8 wire array.
 
     Forward color transform is the exact fixed-point pair of
-    ops/yuv.py pack_yuv420; the DCT runs per 8x8 tile with the block
-    centered at -128 and quantizes the k x k zone by the JPEG tables.
+    ops/yuv.py pack_yuv420; each 8x8 tile (centered at -128) keeps its
+    first ``m`` zig-zag DCT coefficients quantized by the JPEG tables.
     """
     rgb = np.asarray(rgb)
     assert rgb.dtype == np.uint8 and rgb.ndim == 4 and rgb.shape[-1] == 3
@@ -120,51 +160,45 @@ def pack_dct(rgb, k=4, quality=87):
     cr = np.clip((cr[:, 0::2, 0::2] + cr[:, 0::2, 1::2]
                   + cr[:, 1::2, 0::2] + cr[:, 1::2, 1::2] + 2) >> 2, 0, 255)
 
-    C = _dct_basis(k).astype(np.float32)
-    luma_q, chroma_q = _quant_steps(k, quality)
     out = []
-    for plane, steps in ((y, luma_q), (cb, chroma_q), (cr, chroma_q)):
-        # f32 is plenty: the quantization step (>= 1, DC >= 8) dwarfs the
-        # ~1e-3 f32 rounding of an 8x8 DCT, and it packs ~2x faster on
-        # the serving host
+    for plane, m, chroma in ((y, luma_m, False), (cb, chroma_m, True),
+                             (cr, chroma_m, True)):
+        ana, _ = _codec_matrices(m, quality, chroma)
         blocks = _blockify(plane.astype(np.float32) - 128.0)
-        coefs = np.einsum("ux,bnxy,vy->bnuv", C, blocks, C,
-                          optimize=True)
-        q = np.rint(coefs / steps.astype(np.float32))
-        out.append(np.clip(q, -128, 127))
+        q = np.rint(blocks.reshape(-1, 64) @ ana)
+        out.append(np.clip(q, -128, 127).reshape(B, -1))
     return np.concatenate(out, axis=1).astype(np.int8)
 
 
-def unpack_dct_to_rgb(packed, H=512, W=1024, k=4, quality=87):
-    """Device: int8 [B, NB, k, k] -> RGB float32 [B, H, W, 3] in [0, 1].
+def unpack_dct_to_rgb(packed, H=512, W=1024, luma_m=DEFAULT_LUMA_M,
+                      chroma_m=DEFAULT_CHROMA_M, quality=DEFAULT_QUALITY):
+    """Device: flat int8 wire array -> RGB float32 [B, H, W, 3] in [0, 1].
 
-    Dequant + partial IDCT (X = C_k^T F C_k) + tile reassembly + nearest
-    chroma upsample + the inverse fixed-point color transform of
-    ops/yuv.py unpack_yuv420_to_rgb.
+    Dequant + partial IDCT as ONE [m, 64] matmul per plane + tile
+    reassembly + nearest chroma upsample + the inverse fixed-point color
+    transform of ops/yuv.py unpack_yuv420_to_rgb.
     """
-    B, nb, kk, _ = packed.shape
-    assert (kk == k and nb == dct_wire_shape(B, H, W, k)[1]), (
-        packed.shape, (H, W, k))
+    B = packed.shape[0]
+    assert packed.shape == dct_wire_shape(B, H, W, luma_m, chroma_m), (
+        packed.shape, (H, W, luma_m, chroma_m))
     n_y = (H // 8) * (W // 8)
     n_c = (H // 16) * (W // 16)
-    C = jnp.asarray(_dct_basis(k), jnp.float32)
-    luma_q, chroma_q = _quant_steps(k, quality)
-    steps = jnp.concatenate([
-        jnp.broadcast_to(jnp.asarray(luma_q, jnp.float32), (n_y, k, k)),
-        jnp.broadcast_to(jnp.asarray(chroma_q, jnp.float32),
-                         (2 * n_c, k, k))], axis=0)
 
-    coefs = packed.astype(jnp.float32) * steps[None]
-    blocks = jnp.einsum("ux,bnuv,vy->bnxy", C, coefs, C,
-                        preferred_element_type=jnp.float32) + 128.0
-
-    def assemble(tiles, h, w):
+    def decode(coefs, n, m, chroma, h, w):
+        _, syn = _codec_matrices(m, quality, chroma)
+        tiles = jnp.einsum("bnm,mp->bnp", coefs.reshape(B, n, m)
+                           .astype(jnp.float32), jnp.asarray(syn),
+                           preferred_element_type=jnp.float32) + 128.0
         t = tiles.reshape(B, h // 8, w // 8, 8, 8)
         return t.transpose(0, 1, 3, 2, 4).reshape(B, h, w)
 
-    y = assemble(blocks[:, :n_y], H, W)
-    cb = assemble(blocks[:, n_y:n_y + n_c], H // 2, W // 2)
-    cr = assemble(blocks[:, n_y + n_c:], H // 2, W // 2)
+    y_end = n_y * luma_m
+    c_len = n_c * chroma_m
+    y = decode(packed[:, :y_end], n_y, luma_m, False, H, W)
+    cb = decode(packed[:, y_end:y_end + c_len], n_c, chroma_m, True,
+                H // 2, W // 2)
+    cr = decode(packed[:, y_end + c_len:], n_c, chroma_m, True,
+                H // 2, W // 2)
     cb = jnp.repeat(jnp.repeat(cb, 2, -2), 2, -1) - 128.0
     cr = jnp.repeat(jnp.repeat(cr, 2, -2), 2, -1) - 128.0
 
