@@ -39,6 +39,13 @@ def main(argv=None):
                              "overrides (those take the host path)")
     parser.add_argument("--batch_size", default=4, type=int,
                         help="panos per device step")
+    parser.add_argument("--wire", default="uint8",
+                        choices=["float", "uint8", "dct"],
+                        help="host->device upload format for the "
+                             "--device_postproc engine: uint8 panos (4x "
+                             "fewer bytes than float, lossless), the "
+                             "compressed zig-zag DCT wire (ops/dct.py, "
+                             "~42x fewer bytes, lossy ~35 dB), or float")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the forward pass")
     parser.add_argument("--lstm_impl", default="auto",
@@ -99,7 +106,9 @@ def _serve(paths, args, model, variables):
         img = Image.open(path)
         if img.size != (1024, 512):
             img = img.resize((1024, 512), Image.BICUBIC)
-        return np.asarray(img, np.float32)[..., :3] / 255.0
+        # uint8 until the last moment: the engine path uploads raw bytes
+        # (or the dct wire) and normalizes on device
+        return np.asarray(img, np.uint8)[..., :3]
 
     try:  # progress over long globs (ref inference.py:192 uses tqdm too)
         from tqdm import tqdm
@@ -123,7 +132,7 @@ def _serve(paths, args, model, variables):
         engine = InferenceEngine(model, variables,
                                  batch_size=args.batch_size,
                                  flip=args.flip, rotate=args.rotate,
-                                 postproc=mode)
+                                 postproc=mode, input_format=args.wire)
 
     from ..utils.profiling import trace_annotation
 
@@ -137,6 +146,11 @@ def _serve(paths, args, model, variables):
             if nb < args.batch_size:
                 x = np.concatenate(
                     [x, np.repeat(x[-1:], args.batch_size - nb, 0)])
+            if args.wire == "dct":
+                from ..ops.dct import pack_dct
+                x = pack_dct(x)
+            elif args.wire == "float":
+                x = x.astype(np.float32) / 255.0
             with trace_annotation("serve/forward+postproc"):
                 outs = engine(x)
             if args.force_cuboid:
@@ -148,6 +162,7 @@ def _serve(paths, args, model, variables):
                     results = [(c, z0, z1, None) for c, z0, z1 in
                                finish_general_batch(outs)[:nb]]
         else:
+            x = x.astype(np.float32) / 255.0
             with trace_annotation("serve/forward+postproc"):
                 results = inference(model, variables, x, flip=args.flip,
                                     rotate=args.rotate,

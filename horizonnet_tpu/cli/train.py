@@ -57,6 +57,14 @@ def build_argparser():
                         help="override BatchNorm running-stat momentum")
     parser.add_argument("--num_workers", default=2, type=int,
                         help="batch-prefetch worker threads (0 = sync)")
+    parser.add_argument("--wire", default="uint8",
+                        choices=["uint8", "dct"],
+                        help="training-batch upload format: raw uint8 "
+                             "pixels, or the compressed zig-zag DCT wire "
+                             "(ops/dct.py; ~11x fewer bytes, decoded on "
+                             "device fused with the augmentation warp — "
+                             "for hosts whose accelerator link is the "
+                             "input bottleneck)")
     parser.add_argument("--n_model", default=1, type=int,
                         help="tensor-parallel mesh axis size (conv "
                              "channels sharded per parallel/sharding.py)")
@@ -101,8 +109,10 @@ def main(argv=None):
     # Datasets
     aug_flags = dict(flip=not args.no_flip, rotate=not args.no_rotate,
                      gamma=not args.no_gamma, stretch=not args.no_pano_stretch)
-    dataset_train = PanoCorBonDataset(args.train_root_dir, **aug_flags)
-    dataset_aug = (PanoCorBonDataset(args.train_aug_root_dir, **aug_flags)
+    dataset_train = PanoCorBonDataset(args.train_root_dir, wire=args.wire,
+                                      **aug_flags)
+    dataset_aug = (PanoCorBonDataset(args.train_aug_root_dir, wire=args.wire,
+                                     **aug_flags)
                    if args.train_aug_root_dir else None)
     dataset_valid = (PanoCorBonDataset(args.valid_root_dir, return_cor=True)
                      if args.valid_root_dir else None)

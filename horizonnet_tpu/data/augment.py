@@ -13,6 +13,8 @@ Labels (bon, y_cor, corners) are synthesized on host from the analytically
 transformed corners (data/labels.py) — tiny 1D work.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -62,6 +64,22 @@ def batched_augment_images(imgs, kx, ky, flip, dx, gamma_p):
     return jax.vmap(_augment_one)(imgs, kx, ky, flip, dx, gamma_p)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def batched_augment_images_dct(packed, H, W, kx, ky, flip, dx, gamma_p):
+    """Compressed-wire variant: packed [B, wire] int8 (ops/dct.py).
+
+    The dct decode (dequant + partial IDCT + color) and the augmentation
+    warp fuse into ONE device program, so a training host on a slow link
+    uploads ~11x fewer bytes than uint8 RGB (144 KiB vs 1.5 MB per
+    512x1024 pano) — the input-bound rows of the README train table
+    collapse to device-resident speed.
+    """
+    from ..ops.dct import unpack_dct_to_rgb
+
+    imgs = unpack_dct_to_rgb(packed, H, W)
+    return jax.vmap(_augment_one)(imgs, kx, ky, flip, dx, gamma_p)
+
+
 def sample_aug_params(rng: np.random.Generator, cor, W,
                       flip=True, rotate=True, gamma=True, stretch=True,
                       max_stretch=2.0):
@@ -108,10 +126,15 @@ def transform_corners(cor, params, W):
     return cor
 
 
-def augment_batch(imgs, cors, rng: np.random.Generator, H, W, **flags):
+def augment_batch(imgs, cors, rng: np.random.Generator, H, W,
+                  wire="uint8", **flags):
     """Full batched augmentation: device images + host labels.
 
-    imgs: [B,H,W,3] float32; cors: list of (2N,2) corner arrays.
+    imgs: [B,H,W,3] float32/uint8; cors: list of (2N,2) corner arrays.
+    wire: "uint8" uploads the raw pixels; "dct" packs the compressed
+    zig-zag DCT wire format on host (ops/dct.py, lossy ~35 dB) and the
+    device decodes it fused with the warp — for training hosts whose
+    accelerator link is the bottleneck.
     Returns (aug_imgs [B,H,W,3] jax, aug_cors list, params list).
     """
     B = imgs.shape[0]
@@ -121,6 +144,16 @@ def augment_batch(imgs, cors, rng: np.random.Generator, H, W, **flags):
     flip = jnp.asarray([p["flip"] for p in ps], bool)
     dx = jnp.asarray([p["dx"] for p in ps], jnp.int32)
     gp = jnp.asarray([p["p"] for p in ps], jnp.float32)
-    out = batched_augment_images(jnp.asarray(imgs), kx, ky, flip, dx, gp)
+    if wire == "dct":
+        from ..ops.dct import pack_dct
+
+        imgs = np.asarray(imgs)
+        if imgs.dtype != np.uint8:
+            imgs = np.clip(np.rint(imgs * 255.0), 0, 255).astype(np.uint8)
+        out = batched_augment_images_dct(pack_dct(imgs), H, W,
+                                         kx, ky, flip, dx, gp)
+    else:
+        assert wire == "uint8", wire
+        out = batched_augment_images(jnp.asarray(imgs), kx, ky, flip, dx, gp)
     aug_cors = [transform_corners(cors[b], ps[b], W) for b in range(B)]
     return out, aug_cors, ps

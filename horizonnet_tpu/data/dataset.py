@@ -22,7 +22,7 @@ from .augment import augment_batch
 class PanoCorBonDataset:
     def __init__(self, root_dir, flip=False, rotate=False, gamma=False,
                  stretch=False, p_base=0.96, max_stretch=2.0,
-                 return_cor=False, return_path=False):
+                 return_cor=False, return_path=False, wire="uint8"):
         self.img_dir = os.path.join(root_dir, "img")
         self.cor_dir = os.path.join(root_dir, "label_cor")
         self.img_fnames = sorted(
@@ -37,6 +37,7 @@ class PanoCorBonDataset:
         self.max_stretch = max_stretch
         self.return_cor = return_cor
         self.return_path = return_path
+        self.wire = wire  # "uint8" | "dct" batch upload format (augment.py)
         for f in self.txt_fnames:
             path = os.path.join(self.cor_dir, f)
             assert os.path.isfile(path), f"{path} not found"
@@ -98,7 +99,7 @@ def make_training_batch(dataset: PanoCorBonDataset, indices,
     B, H, W, _ = imgs.shape
 
     x, aug_cors, _ = augment_batch(
-        imgs, cors, rng, H, W,
+        imgs, cors, rng, H, W, wire=dataset.wire,
         flip=dataset.flip, rotate=dataset.rotate, gamma=dataset.gamma,
         stretch=dataset.stretch, max_stretch=dataset.max_stretch)
 

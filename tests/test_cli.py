@@ -136,7 +136,9 @@ def test_inference_cli_device_postproc(tmp_path):
         Image.fromarray(rng.integers(0, 255, (64, 128, 3), dtype=np.uint8)
                         .astype(np.uint8)).save(str(img_dir / f"{name}.png"))
     for mode_flag, out_name in ((["--force_cuboid"], "cub"),
-                                ([], "gen")):
+                                ([], "gen"),
+                                (["--force_cuboid", "--wire", "dct"],
+                                 "cub_dct")):
         out_dir = str(tmp_path / out_name)
         assert main(["--pth", ckpt, "--img_glob", str(img_dir / "*.png"),
                      "--output_dir", out_dir, "--batch_size", "2",

@@ -87,3 +87,28 @@ def test_find_occlusion_square_room():
     # xy2coor with negative z gives ceiling rows (v>0 up); use as ceiling ring
     occ = find_occlusion(cor)
     assert not occ.any()
+
+
+def test_dct_wire_augment_matches_uint8_wire():
+    """--wire dct: the fused decode+warp program must track the uint8
+    path within the wire format's lossy budget (~35 dB -> a few /255)."""
+    from horizonnet_tpu.data.augment import augment_batch
+    from tests.test_yuv import _smooth_image
+
+    rng_img = np.random.default_rng(3)
+    imgs = _smooth_image(rng_img, B=2, H=64, W=128)
+    cors = [np.array([[10.0, 20.0], [10.0, 44.0],
+                      [70.0, 18.0], [70.0, 46.0]])] * 2
+
+    out_u8, cors_u8, _ = augment_batch(
+        imgs, cors, np.random.default_rng(7), 64, 128,
+        flip=True, rotate=True, gamma=True, stretch=True)
+    out_dct, cors_dct, _ = augment_batch(
+        imgs, cors, np.random.default_rng(7), 64, 128, wire="dct",
+        flip=True, rotate=True, gamma=True, stretch=True)
+
+    # identical host RNG stream -> identical aug params -> identical labels
+    for a, b in zip(cors_u8, cors_dct):
+        np.testing.assert_array_equal(a, b)
+    err = np.abs(np.asarray(out_dct) - np.asarray(out_u8))
+    assert err.max() < 0.12 and err.mean() < 0.01, (err.max(), err.mean())

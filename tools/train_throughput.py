@@ -113,6 +113,20 @@ def main(steps=30, bs=24, backbone="resnet50", dtype="bf16",
     force(m)
     dt_u8 = (time.time() - t0) / n_host
 
+    # (b3) dct-fed: the compressed zig-zag wire (ops/dct.py) packed on
+    # host, decoded on device — the --wire dct train CLI path (decode
+    # fuses with the augment warp there; here with the normalize).
+    from horizonnet_tpu.ops.dct import pack_dct, unpack_dct_to_rgb
+    packed = pack_dct(imgs)
+    decode = jax.jit(lambda p: unpack_dct_to_rgb(p, H, W))
+    jax.block_until_ready(decode(jax.device_put(packed)))  # warmup
+    t0 = time.time()
+    for _ in range(n_host):
+        jrng, s = jax.random.split(jrng)
+        m = engine.step(decode(jax.device_put(packed)), y_bon, y_cor, s)
+    force(m)
+    dt_dct = (time.time() - t0) / n_host
+
     # (c) fused scan: S steps per dispatch, ONE compiled program.
     # Excludes per-dispatch link latency entirely; rng folded per step.
     # Runs LAST with the engine's device state freed first — two resident
@@ -183,6 +197,10 @@ def main(steps=30, bs=24, backbone="resnet50", dtype="bf16",
           f"{bs / dt_u8:7.1f} panos/s  "
           f"({imgs.nbytes / 1e6:.0f} MB/step upload + device "
           f"normalize — the CLI augment path's wire format)")
+    print(f"host-fed dct:    {dt_dct * 1e3:8.1f} ms/step  "
+          f"{bs / dt_dct:7.1f} panos/s  "
+          f"({packed.nbytes / 1e6:.1f} MB/step upload + device "
+          f"decode — the CLI's --wire dct path)")
     return 0
 
 
