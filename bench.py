@@ -110,9 +110,10 @@ def main():
     dct_q = int(os.environ.get("BENCH_DCT_Q", DEFAULT_QUALITY))
     lstm_impl = os.environ.get("BENCH_LSTM", "pallas")
     postproc = os.environ.get("BENCH_POSTPROC", "cuboid")
+    s2d = os.environ.get("BENCH_S2D", "0") != "0"
     H, W = 512, 1024
     model = build_model("resnet50", use_rnn=True, dtype=jnp.bfloat16,
-                        lstm_impl=lstm_impl)
+                        lstm_impl=lstm_impl, s2d_stem=s2d)
     variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
     engine = InferenceEngine(model, variables, batch_size=B, H=H, W=W,
                              input_format=fmt, postproc=postproc,

@@ -48,6 +48,10 @@ def main(argv=None):
                              "~42x fewer bytes, lossy ~35 dB), or float")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the forward pass")
+    parser.add_argument("--s2d_stem", action="store_true",
+                        help="space-to-depth rewrite of the resnet stem "
+                             "conv (same checkpoint params, identical "
+                             "outputs; MXU-friendlier on TPU)")
     parser.add_argument("--lstm_impl", default="auto",
                         choices=["auto", "scan", "pallas"],
                         help="LSTM recurrence: fused Pallas kernel on TPU "
@@ -78,10 +82,14 @@ def main(argv=None):
         # Pallas lowers for TPU targets only; scan everywhere else
         lstm_impl = ("pallas" if jax.devices()[0].platform == "tpu"
                      else "scan")
-    if args.bf16 or lstm_impl != "scan":
+    # Serving-time rewrites that reuse the loaded parameter tree: bf16
+    # compute, the fused Pallas LSTM, and the space-to-depth stem
+    s2d = (args.s2d_stem and model.backbone.startswith("res"))
+    if args.bf16 or lstm_impl != "scan" or s2d:
         model = build_model(model.backbone, model.use_rnn,
                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                            seam_pool=model.seam_pool, lstm_impl=lstm_impl)
+                            seam_pool=model.seam_pool, lstm_impl=lstm_impl,
+                            s2d_stem=s2d)
 
     import contextlib
     if args.profile_dir:

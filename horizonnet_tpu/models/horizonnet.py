@@ -94,6 +94,7 @@ class HorizonNet(nn.Module):
     bn_momentum: float = 0.1  # torch semantics (--bn_momentum override)
     dtype: jnp.dtype = jnp.float32
     lstm_impl: str = "scan"   # "pallas" for the fused serving kernel
+    s2d_stem: bool = False    # space-to-depth conv1 (resnet; same params)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -104,7 +105,8 @@ class HorizonNet(nn.Module):
 
         if self.backbone.startswith("res"):
             feats = ResNetEncoder(self.backbone, self.dtype, self.seam_pool,
-                                  self.bn_momentum, name="encoder")(x, train)
+                                  self.bn_momentum, self.s2d_stem,
+                                  name="encoder")(x, train)
             channels = resnet_feature_channels(self.backbone)
         elif self.backbone.startswith("dense"):
             feats = DenseNetEncoder(self.backbone, self.dtype, self.seam_pool,

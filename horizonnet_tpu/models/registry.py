@@ -17,12 +17,15 @@ ENCODER_DENSENET = [
 def build_model(backbone: str = "resnet50", use_rnn: bool = True,
                 dtype=jnp.float32, seam_pool: bool = False,
                 bn_momentum: float = 0.1,
-                lstm_impl: str = "scan") -> HorizonNet:
+                lstm_impl: str = "scan",
+                s2d_stem: bool = False) -> HorizonNet:
     if backbone not in ENCODER_RESNET + ENCODER_DENSENET:
         raise ValueError(f"unknown backbone {backbone!r}")
+    if s2d_stem and not backbone.startswith("res"):
+        raise ValueError("s2d_stem is a resnet-stem rewrite")
     return HorizonNet(backbone=backbone, use_rnn=use_rnn, dtype=dtype,
                       seam_pool=seam_pool, bn_momentum=bn_momentum,
-                      lstm_impl=lstm_impl)
+                      lstm_impl=lstm_impl, s2d_stem=s2d_stem)
 
 
 def init_model(model: HorizonNet, key, input_shape=(1, 512, 1024, 3)):

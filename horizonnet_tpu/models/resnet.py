@@ -10,10 +10,58 @@ Forward returns the 4 feature maps at strides 4/8/16/32 (model.py:71-82).
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.lstm import matmul_precision
+from ..ops.pad import wrap_pad_width
 from .layers import WrapConv, BatchNorm, max_pool_same_as_torch
+
+
+class _StemKernelParams(nn.Module):
+    """Owns conv1's [7, 7, 3, 64] kernel at nn.Conv's param path."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64), jnp.float32)
+
+
+class S2DStemConv(nn.Module):
+    """conv1 rewritten via space-to-depth: bit-compatible params, same math.
+
+    The standard stem (7x7, stride 2, 3 input channels) is the classic
+    low-arithmetic-intensity conv on TPUs: the MXU pads the 3-channel
+    contraction up to its 128-lane tile. Rewriting input and kernel into
+    2x2-phase space-to-depth form — x [B,H,W,3] -> [B,H/2,W/2,12], the
+    zero-padded 8x8 kernel -> [4,4,12,64], stride 1 VALID — computes the
+    identical sums (see test_model.py s2d equivalence) with 4x the
+    contraction depth per MXU pass. The parameter stays the canonical
+    [7,7,3,64] tensor at the same tree path ('conv1/conv/kernel'), so
+    every checkpoint (ours or converted torch, train/checkpoint.py)
+    loads unchanged; the rearrangement is traced into the program.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = _StemKernelParams(name="conv")()
+        # 7x7 -> 8x8 (zero tap row/col), split into 2x2 phases
+        w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        wp = (w8.reshape(4, 2, 4, 2, 3, 64)
+              .transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, 64))
+        # pad exactly as WrapConv(7x7, s2, p3): wrap on W, zeros on H
+        x = wrap_pad_width(x, 3, axis=2)
+        x = jnp.pad(x, ((0, 0), (3, 3), (0, 0), (0, 0)))
+        B, Hp, Wp, C = x.shape
+        y = (x.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp // 2, Wp // 2, 4 * C))
+        return jax.lax.conv_general_dilated(
+            y.astype(self.dtype), wp.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=matmul_precision(self.dtype))
 
 
 class BasicBlock(nn.Module):
@@ -89,11 +137,16 @@ class ResNetEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     seam_pool: bool = False  # wrap-pad the maxpool (exact seam equivariance)
     bn_momentum: float = 0.1
+    s2d_stem: bool = False   # space-to-depth conv1 (same params, TPU win)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         block, layers, groups, base_width = _RESNET_SPECS[self.backbone]
-        x = WrapConv(64, (7, 7), (2, 2), (3, 3), dtype=self.dtype, name="conv1")(x)
+        if self.s2d_stem:
+            x = S2DStemConv(dtype=self.dtype, name="conv1")(x)
+        else:
+            x = WrapConv(64, (7, 7), (2, 2), (3, 3), dtype=self.dtype,
+                         name="conv1")(x)
         x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool_same_as_torch(x, 3, 2, 1, wrap_width=self.seam_pool)

@@ -108,3 +108,25 @@ def test_train_mode_updates_bn_stats():
     before = variables["batch_stats"]["encoder"]["bn1"]["bn"]["mean"]
     after = mutated["batch_stats"]["encoder"]["bn1"]["bn"]["mean"]
     assert not np.allclose(np.array(before), np.array(after))
+
+
+def test_s2d_stem_matches_standard_conv1():
+    """The space-to-depth stem rewrite (models/resnet.py S2DStemConv) is
+    the same math as WrapConv(7x7, s2, p3) on the same parameter tree:
+    identical param paths/shapes, outputs equal to fp tolerance."""
+    std = build_model("resnet18", use_rnn=True)
+    s2d = build_model("resnet18", use_rnn=True, s2d_stem=True)
+    variables = init_model(std, jax.random.PRNGKey(0), (1, 64, 128, 3))
+
+    chex = jax.tree_util.tree_structure(variables)
+    assert chex == jax.tree_util.tree_structure(
+        init_model(s2d, jax.random.PRNGKey(1), (1, 64, 128, 3)))
+
+    x = jnp.asarray(np.random.default_rng(2)
+                    .uniform(0, 1, (2, 64, 128, 3)), jnp.float32)
+    bon_a, cor_a = std.apply(variables, x, train=False)
+    bon_b, cor_b = s2d.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(bon_b), np.asarray(bon_a),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cor_b), np.asarray(cor_a),
+                               atol=2e-4)

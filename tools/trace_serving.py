@@ -45,7 +45,10 @@ def capture(B=32, fmt="dct", postproc="cuboid", S=8):
                              input_format=fmt, postproc=postproc)
     print(f"engine compile: {time.time() - t0:.0f}s", flush=True)
 
-    batch = bench._pack(bench._demo_batches(B, H, W, 1), fmt, 4, 87)[0]
+    from horizonnet_tpu.ops.dct import (DEFAULT_CHROMA_M, DEFAULT_LUMA_M,
+                                        DEFAULT_QUALITY)
+    batch = bench._pack(bench._demo_batches(B, H, W, 1), fmt,
+                        DEFAULT_LUMA_M, DEFAULT_CHROMA_M, DEFAULT_QUALITY)[0]
     x_dev = engine.put(batch)
 
     def force(outs):
