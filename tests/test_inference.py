@@ -149,3 +149,28 @@ def test_engine_mesh_matches_single_device(small_model):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(cor_m), np.asarray(cor_1),
                                atol=1e-4)
+
+
+def test_engine_mesh_dct_wire(small_model):
+    """The compressed dct wire composes with mesh serving: the flat
+    [B, wire] int8 batch shards on 'data' and decodes per shard."""
+    from horizonnet_tpu.parallel import make_mesh
+    from horizonnet_tpu.ops.dct import pack_dct
+    from tests.test_yuv import _smooth_image
+
+    model, variables = small_model
+    mesh = make_mesh(n_data=8, n_model=1)
+    img = _smooth_image(np.random.default_rng(9), B=8, H=64, W=128)
+    engm = InferenceEngine(model, variables, batch_size=8, H=64, W=128,
+                           mesh=mesh, input_format="dct")
+    eng1 = InferenceEngine(model, variables, batch_size=8, H=64, W=128,
+                           input_format="dct")
+    packed = pack_dct(img)
+    x_dev = engm.put(packed)
+    assert len(x_dev.sharding.device_set) == 8
+    bon_m, cor_m = engm.run(x_dev)
+    bon_1, cor_1 = eng1(packed)
+    np.testing.assert_allclose(np.asarray(bon_m), np.asarray(bon_1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cor_m), np.asarray(cor_1),
+                               atol=1e-4)
