@@ -84,7 +84,7 @@ def main(argv=None):
                      else "scan")
     # Serving-time rewrites that reuse the loaded parameter tree: bf16
     # compute, the fused Pallas LSTM, and the space-to-depth stem
-    s2d = (args.s2d_stem and model.backbone.startswith("res"))
+    s2d = args.s2d_stem
     if args.bf16 or lstm_impl != "scan" or s2d:
         model = build_model(model.backbone, model.use_rnn,
                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

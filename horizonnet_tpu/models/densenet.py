@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import WrapConv, BatchNorm, max_pool_same_as_torch, avg_pool_2x2
+from .resnet import S2DStemConv
 
 _DENSENET_SPECS = {
     # name: (growth_rate, block_config, num_init_features)
@@ -49,12 +50,16 @@ class DenseNetEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     seam_pool: bool = False
     bn_momentum: float = 0.1
+    s2d_stem: bool = False   # space-to-depth conv0 (same params, TPU win)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         growth, blocks, init_feat = _DENSENET_SPECS[self.backbone]
-        x = WrapConv(init_feat, (7, 7), (2, 2), (3, 3),
-                     dtype=self.dtype, name="conv0")(x)
+        if self.s2d_stem:
+            x = S2DStemConv(self.dtype, init_feat, name="conv0")(x)
+        else:
+            x = WrapConv(init_feat, (7, 7), (2, 2), (3, 3),
+                         dtype=self.dtype, name="conv0")(x)
         x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="norm0")(x, train)
         x = nn.relu(x)
         x = max_pool_same_as_torch(x, 3, 2, 1, wrap_width=self.seam_pool)

@@ -110,7 +110,8 @@ class HorizonNet(nn.Module):
             channels = resnet_feature_channels(self.backbone)
         elif self.backbone.startswith("dense"):
             feats = DenseNetEncoder(self.backbone, self.dtype, self.seam_pool,
-                                    self.bn_momentum, name="encoder")(x, train)
+                                    self.bn_momentum, self.s2d_stem,
+                                    name="encoder")(x, train)
             channels = densenet_feature_channels(self.backbone)
         else:
             raise NotImplementedError(self.backbone)

@@ -21,8 +21,6 @@ def build_model(backbone: str = "resnet50", use_rnn: bool = True,
                 s2d_stem: bool = False) -> HorizonNet:
     if backbone not in ENCODER_RESNET + ENCODER_DENSENET:
         raise ValueError(f"unknown backbone {backbone!r}")
-    if s2d_stem and not backbone.startswith("res"):
-        raise ValueError("s2d_stem is a resnet-stem rewrite")
     return HorizonNet(backbone=backbone, use_rnn=use_rnn, dtype=dtype,
                       seam_pool=seam_pool, bn_momentum=bn_momentum,
                       lstm_impl=lstm_impl, s2d_stem=s2d_stem)

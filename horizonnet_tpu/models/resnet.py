@@ -20,12 +20,14 @@ from .layers import WrapConv, BatchNorm, max_pool_same_as_torch
 
 
 class _StemKernelParams(nn.Module):
-    """Owns conv1's [7, 7, 3, 64] kernel at nn.Conv's param path."""
+    """Owns the stem's [7, 7, 3, F] kernel at nn.Conv's param path."""
+
+    features: int = 64
 
     @nn.compact
     def __call__(self):
         return self.param("kernel", nn.initializers.lecun_normal(),
-                          (7, 7, 3, 64), jnp.float32)
+                          (7, 7, 3, self.features), jnp.float32)
 
 
 class S2DStemConv(nn.Module):
@@ -35,23 +37,25 @@ class S2DStemConv(nn.Module):
     low-arithmetic-intensity conv on TPUs: the MXU pads the 3-channel
     contraction up to its 128-lane tile. Rewriting input and kernel into
     2x2-phase space-to-depth form — x [B,H,W,3] -> [B,H/2,W/2,12], the
-    zero-padded 8x8 kernel -> [4,4,12,64], stride 1 VALID — computes the
+    zero-padded 8x8 kernel -> [4,4,12,F], stride 1 VALID — computes the
     identical sums (see test_model.py s2d equivalence) with 4x the
     contraction depth per MXU pass. The parameter stays the canonical
-    [7,7,3,64] tensor at the same tree path ('conv1/conv/kernel'), so
-    every checkpoint (ours or converted torch, train/checkpoint.py)
+    [7,7,3,F] tensor at the same tree path (e.g. 'conv1/conv/kernel'),
+    so every checkpoint (ours or converted torch, train/checkpoint.py)
     loads unchanged; the rearrangement is traced into the program.
     """
 
     dtype: jnp.dtype = jnp.float32
+    features: int = 64
 
     @nn.compact
     def __call__(self, x):
-        w = _StemKernelParams(name="conv")()
+        F = self.features
+        w = _StemKernelParams(F, name="conv")()
         # 7x7 -> 8x8 (zero tap row/col), split into 2x2 phases
         w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
-        wp = (w8.reshape(4, 2, 4, 2, 3, 64)
-              .transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, 64))
+        wp = (w8.reshape(4, 2, 4, 2, 3, F)
+              .transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, F))
         # pad exactly as WrapConv(7x7, s2, p3): wrap on W, zeros on H
         x = wrap_pad_width(x, 3, axis=2)
         x = jnp.pad(x, ((0, 0), (3, 3), (0, 0), (0, 0)))

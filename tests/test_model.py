@@ -110,12 +110,13 @@ def test_train_mode_updates_bn_stats():
     assert not np.allclose(np.array(before), np.array(after))
 
 
-def test_s2d_stem_matches_standard_conv1():
+@pytest.mark.parametrize("backbone", ["resnet18", "densenet121"])
+def test_s2d_stem_matches_standard_stem(backbone):
     """The space-to-depth stem rewrite (models/resnet.py S2DStemConv) is
     the same math as WrapConv(7x7, s2, p3) on the same parameter tree:
     identical param paths/shapes, outputs equal to fp tolerance."""
-    std = build_model("resnet18", use_rnn=True)
-    s2d = build_model("resnet18", use_rnn=True, s2d_stem=True)
+    std = build_model(backbone, use_rnn=True)
+    s2d = build_model(backbone, use_rnn=True, s2d_stem=True)
     variables = init_model(std, jax.random.PRNGKey(0), (1, 64, 128, 3))
 
     chex = jax.tree_util.tree_structure(variables)
