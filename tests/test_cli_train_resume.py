@@ -79,3 +79,22 @@ def test_train_cli_resume_matches_unbroken(tmp_path):
     assert len(leaves_a) == len(leaves_b) and len(leaves_a) > 50
     for la, lb in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.slow
+def test_train_cli_wire_dct_smoke(tmp_path):
+    """--wire dct: one epoch end-to-end through the CLI (compressed
+    batch upload decoded on device fused with the augmentation warp)."""
+    from horizonnet_tpu.cli.train import main
+
+    data = _write_dataset(tmp_path / "data")
+    assert main(["--id", "w", "--ckpt", str(tmp_path / "ck"),
+                 "--logs", str(tmp_path / "lg"), "--epochs", "1",
+                 "--backbone", "resnet18", "--train_root_dir", data,
+                 "--valid_root_dir", data,
+                 "--batch_size_train", "2", "--batch_size_valid", "2",
+                 "--num_workers", "0",
+                 "--wire", "dct", "--save_every", "100",
+                 "--lr", "1e-3"]) == 0
+    head, _ = _read(str(tmp_path / "ck" / "w" / "checkpoint.ckpt"))
+    assert head["epoch"] == 1
