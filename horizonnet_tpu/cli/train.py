@@ -75,6 +75,10 @@ def build_argparser():
                              "(TPU only; ops/pallas_lstm.py)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (f32 params)")
+    parser.add_argument("--s2d_stem", action="store_true",
+                        help="space-to-depth rewrite of the stem conv "
+                             "(identical math and parameter tree; "
+                             "MXU-friendlier on TPU)")
     parser.add_argument("--seed", default=594277, type=int)
     parser.add_argument("--save_every", default=25, type=int)
     parser.add_argument("--seam_pool", action="store_true",
@@ -131,12 +135,14 @@ def main(argv=None):
         model = build_model(model.backbone, model.use_rnn, dtype=dtype,
                             seam_pool=args.seam_pool,
                             lstm_impl=args.lstm_impl,
+                            s2d_stem=args.s2d_stem,
                             bn_momentum=(args.bn_momentum
                                          if args.bn_momentum else 0.1))
     else:
         model = build_model(args.backbone, not args.no_rnn, dtype=dtype,
                             seam_pool=args.seam_pool,
                             lstm_impl=args.lstm_impl,
+                            s2d_stem=args.s2d_stem,
                             bn_momentum=(args.bn_momentum
                                          if args.bn_momentum else 0.1))
         variables = init_model(model, jax.random.PRNGKey(args.seed),

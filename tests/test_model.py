@@ -131,3 +131,29 @@ def test_s2d_stem_matches_standard_stem(backbone):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(cor_b), np.asarray(cor_a),
                                atol=2e-4)
+
+
+def test_s2d_stem_gradients_match():
+    """Identical math => identical gradients: the s2d stem is safe for
+    training (cli.train --s2d_stem) with checkpoint interop both ways."""
+    import jax.numpy as _jnp
+
+    std = build_model("resnet18", use_rnn=False)
+    s2d = build_model("resnet18", use_rnn=False, s2d_stem=True)
+    variables = init_model(std, jax.random.PRNGKey(0), (1, 64, 128, 3))
+    x = jnp.asarray(np.random.default_rng(5)
+                    .uniform(0, 1, (2, 64, 128, 3)), jnp.float32)
+
+    def loss(m):
+        def f(params):
+            bon, cor = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=False)
+            return _jnp.mean(bon ** 2) + _jnp.mean(cor ** 2)
+        return f
+
+    g_std = jax.grad(loss(std))(variables["params"])
+    g_s2d = jax.grad(loss(s2d))(variables["params"])
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_s2d)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6)
