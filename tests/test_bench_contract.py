@@ -1,0 +1,58 @@
+"""bench.py contract: the driver runs it unattended at round end, so an
+API drift between bench's helpers and the library (wire packers, engine
+signatures) must turn the suite red FIRST. (trace_serving.py broke this
+way once when pack_dct's signature changed; bench is the copy that
+matters.)
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_helpers_match_engine_contract():
+    import pytest
+    if not os.path.isfile(
+            "/root/reference/assets/preprocessed/demo_aligned_rgb.png"):
+        pytest.skip("reference demo assets not mounted")
+    bench = _load_bench()
+    from horizonnet_tpu.ops.dct import (DEFAULT_CHROMA_M, DEFAULT_LUMA_M,
+                                        DEFAULT_QUALITY, dct_wire_shape)
+
+    B, H, W = 2, 64, 128
+    batches = bench._demo_batches(B, H, W, n_distinct=1)
+    assert batches[0].shape == (B, H, W, 3)
+    assert batches[0].dtype == np.uint8
+
+    packed = bench._pack(batches, "dct", DEFAULT_LUMA_M, DEFAULT_CHROMA_M,
+                         DEFAULT_QUALITY)
+    assert packed[0].shape == dct_wire_shape(B, H, W)
+    assert packed[0].dtype == np.int8
+
+    yuv = bench._pack(batches, "yuv420", DEFAULT_LUMA_M, DEFAULT_CHROMA_M,
+                      DEFAULT_QUALITY)
+    assert yuv[0].shape == (B, 6, H // 2, W // 2)
+
+    f32 = bench._pack(batches, "float", DEFAULT_LUMA_M, DEFAULT_CHROMA_M,
+                      DEFAULT_QUALITY)
+    assert f32[0].dtype == np.float32 and f32[0].max() <= 1.0
+
+    # The env knobs bench reads must stay known to this test (a rename
+    # silently reverts the driver run to defaults)
+    src = open(os.path.join(ROOT, "bench.py")).read()
+    for knob in ("BENCH_B", "BENCH_DEPTH", "BENCH_FMT", "BENCH_POSTPROC",
+                 "BENCH_REPS", "BENCH_E2E", "BENCH_DCT_LUMA_M",
+                 "BENCH_DCT_CHROMA_M", "BENCH_DCT_Q", "BENCH_LSTM",
+                 "BENCH_S2D"):
+        assert knob in src, knob
