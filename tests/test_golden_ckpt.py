@@ -94,3 +94,18 @@ def test_golden_dct_ingest_corner_stability(golden):
     # at k=4/5/6 alike on this golden (it is NOT zonal truncation), and
     # the floor-corner rows it feeds still land within the 2 px above.
     assert abs(float(z1d[0]) - float(z1f[0])) < 2.0
+
+
+def test_golden_s2d_stem_serving_matches(golden):
+    """--s2d_stem serving on trained weights: corners pinned to the
+    standard-stem device path (the rewrite is exact math, so any drift
+    is a regression in the kernel rearrangement)."""
+    from horizonnet_tpu.inference import InferenceEngine
+    from horizonnet_tpu.models import build_model
+
+    model, variables, img, want = golden
+    s2d = build_model(model.backbone, model.use_rnn, s2d_stem=True)
+    eng = InferenceEngine(s2d, variables, batch_size=1, postproc="cuboid")
+    cid, z1 = (np.asarray(a) for a in eng(img))
+    dpx = np.abs(cid[0] - want["cuboid_uv"]).max() * 512
+    assert dpx < 2.0, f"s2d serving corners off host golden {dpx:.2f}px"
