@@ -192,10 +192,9 @@ def assign_vanishing_type(lines, vp, tol, area=10):
     the VP itself are disqualified. Ref: pano_lsd_align.py:715-741.
     """
     n_line, n_vp = len(lines), len(vp)
-    cost = np.zeros((n_line, n_vp))
-    for vid in range(n_vp):
-        cosint = (lines[:, :3] * vp[[vid]]).sum(1)
-        cost[:, vid] = np.arcsin(np.clip(np.abs(cosint), -1, 1))
+    vp = np.asarray(vp, np.float64)
+    cosint = lines[:, :3] @ vp.T if n_line else np.zeros((0, n_vp))
+    cost = np.arcsin(np.clip(np.abs(cosint), -1, 1))
 
     if n_line:
         u = np.stack([lines[:, 4], lines[:, 5]], -1).reshape(-1, 1) \
@@ -209,10 +208,11 @@ def assign_vanishing_type(lines, vp, tol, area=10):
         samples = starts[:, None, :] * (1 - t[None, :, None]) \
             + ends[:, None, :] * t[None, :, None]
         samples /= np.linalg.norm(samples, axis=-1, keepdims=True)
-        for vid in range(n_vp):
-            ang = np.arccos(np.clip(np.abs(samples @ vp[vid]), -1, 1))
-            passes_near = (ang < area * np.pi / 180).sum(1) != 0
-            cost[passes_near, vid] = 100
+        # "any sample within `area` degrees of the VP": arccos is strictly
+        # decreasing, so ang < thresh == |dot| > cos(thresh) — same
+        # booleans without an arccos over [N, S, V], one matmul for all VPs
+        near = np.abs(samples @ vp.T) > np.cos(area * np.pi / 180)
+        cost[near.any(1)] = 100
 
     best = cost.min(1)
     tp = cost.argmin(1)
@@ -251,7 +251,9 @@ def refit_line_segments(lines, vp, vpweight=0.1):
     vp = np.asarray(vp, np.float64).reshape(3)
     vp_unit = vp / np.linalg.norm(vp)
     # weights: 1 per sample + vpweight*num_sample on the vp point
-    A = np.einsum("nsi,nsj->nij", xyz, xyz)
+    # batched [3,S]@[S,3] (BLAS) — same contraction as
+    # einsum("nsi,nsj->nij") but einsum doesn't dispatch to BLAS here
+    A = np.matmul(xyz.transpose(0, 2, 1), xyz)
     wvp = (vpweight * num_sample) ** 2
     A = A + wvp * np.outer(vp_unit, vp_unit)[None]
     _, _, Vh = np.linalg.svd(A)

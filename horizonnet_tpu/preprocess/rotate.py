@@ -46,18 +46,29 @@ def _rotate_f32(img, Rinv, H, W):
     return bilinear_wrap_sample(img, Py - 1.0, Px - 1.0)
 
 
+# Module-level jits (NOT closures per call): the jit cache is keyed by
+# function identity, so a per-call ``@jax.jit`` re-traces + recompiles on
+# every pano — over the remote tunnel that is a compile-cache round-trip
+# per call.
+@jax.jit
+def _rot_jit(img, Rinv):
+    H, W = img.shape[:2]
+    return _rotate_f32(img, Rinv, H, W)
+
+
+@jax.jit
+def _rot_u8_jit(img, Rinv):
+    H, W = img.shape[:2]
+    out = _rotate_f32(img.astype(jnp.float32), Rinv, H, W)
+    return jnp.clip(jnp.floor(out), 0, 255).astype(jnp.uint8)
+
+
 def rotate_panorama(img, vp=None, R=None):
     """img: [H, W, C]; vp: (3,3) VP rows or R: explicit rotation."""
-    H, W = img.shape[:2]
     if R is None:
         R = np.linalg.inv(np.asarray(vp, np.float64).T)
     Rinv = np.linalg.inv(R)
-
-    @jax.jit
-    def _rot(img, Rinv):
-        return _rotate_f32(img, Rinv, H, W)
-
-    return np.asarray(_rot(jnp.asarray(img), jnp.asarray(Rinv)))
+    return np.asarray(_rot_jit(jnp.asarray(img), jnp.asarray(Rinv)))
 
 
 def rotate_panorama_uint8(img_u8, vp=None, R=None):
@@ -70,14 +81,7 @@ def rotate_panorama_uint8(img_u8, vp=None, R=None):
     float path + host quantization except for the rare interpolated
     pixel landing within f32 rounding of an integer boundary (+-1 LSB).
     """
-    H, W = img_u8.shape[:2]
     if R is None:
         R = np.linalg.inv(np.asarray(vp, np.float64).T)
     Rinv = np.linalg.inv(R)
-
-    @jax.jit
-    def _rot_u8(img, Rinv):
-        out = _rotate_f32(img.astype(jnp.float32), Rinv, H, W)
-        return jnp.clip(jnp.floor(out), 0, 255).astype(jnp.uint8)
-
-    return np.asarray(_rot_u8(jnp.asarray(img_u8), jnp.asarray(Rinv)))
+    return np.asarray(_rot_u8_jit(jnp.asarray(img_u8), jnp.asarray(Rinv)))

@@ -9,6 +9,8 @@ View set (panoEdgeDetection, pano_lsd_align.py:818-827): 12 horizon views
 every 30 deg, 12 at elevation +-45 deg, 2 poles; fov pi/3, 320 px.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -83,18 +85,23 @@ def cut_views(pano, size=320, fov=np.pi / 3, directions=None):
         xs, ys = VIEW_DIRECTIONS
     else:
         xs, ys = directions
+    return _cut_jit(jnp.asarray(pano), jnp.asarray(xs, jnp.float32),
+                    jnp.asarray(ys, jnp.float32), size, float(fov))
+
+
+# Module-level jit (NOT a closure per call): the jit cache is keyed by
+# function identity, so a fresh ``@jax.jit`` inside the entry point would
+# re-trace + recompile on EVERY pano — over the remote tunnel that is a
+# compile-cache round-trip per call and was most of this stage's cost.
+@functools.partial(jax.jit, static_argnames=("size", "fov"))
+def _cut_jit(pano, xs, ys, size, fov):
     H, W = pano.shape[:2]
-    pano = jnp.asarray(pano)
 
-    @jax.jit
-    def _cut(pano):
-        def one(vx, vy):
-            py, px = _view_source_coords(vx, vy, size, fov, H, W)
-            return bilinear_wrap_sample(pano, py, px)
-        return jax.vmap(one)(jnp.asarray(xs, jnp.float32),
-                             jnp.asarray(ys, jnp.float32))
+    def one(vx, vy):
+        py, px = _view_source_coords(vx, vy, size, fov, H, W)
+        return bilinear_wrap_sample(pano, py, px)
 
-    return _cut(pano)
+    return jax.vmap(one)(xs, ys)
 
 
 def rgb_to_gray(views):
@@ -120,22 +127,24 @@ def cut_views_gray(pano, size=320, fov=np.pi / 3, directions=None):
         xs, ys = VIEW_DIRECTIONS
     else:
         xs, ys = directions
+    return _cut_gray_jit(jnp.asarray(pano), jnp.asarray(xs, jnp.float32),
+                         jnp.asarray(ys, jnp.float32), size, float(fov))
+
+
+@functools.partial(jax.jit, static_argnames=("size", "fov"))
+def _cut_gray_jit(pano, xs, ys, size, fov):
+    # Module-level jit for the same per-call-recompile reason as _cut_jit.
     H, W = pano.shape[:2]
-    pano = jnp.asarray(pano)
+    pano = pano.astype(jnp.float32)   # uint8 panos upload 4x cheaper
 
-    @jax.jit
-    def _cut_gray(pano):
-        pano = pano.astype(jnp.float32)   # uint8 panos upload 4x cheaper
-        def one(vx, vy):
-            py, px = _view_source_coords(vx, vy, size, fov, H, W)
-            return rgb_to_gray(bilinear_wrap_sample(pano, py, px))
-        g = jax.vmap(one)(jnp.asarray(xs, jnp.float32),
-                          jnp.asarray(ys, jnp.float32))
-        # f16 halves the host<-device bytes (the dominant cost of this
-        # stage on a thin link); at the 0..255 luma scale f16 rounds by
-        # <= ~0.12 gray levels — an order below LSD's quant=0.7 error
-        # model, so detections are unchanged (golden-VP slow test pins
-        # the end-to-end angle)
-        return g.astype(jnp.float16)
+    def one(vx, vy):
+        py, px = _view_source_coords(vx, vy, size, fov, H, W)
+        return rgb_to_gray(bilinear_wrap_sample(pano, py, px))
 
-    return _cut_gray(pano)
+    g = jax.vmap(one)(xs, ys)
+    # f16 halves the host<-device bytes (the dominant cost of this
+    # stage on a thin link); at the 0..255 luma scale f16 rounds by
+    # <= ~0.12 gray levels — an order below LSD's quant=0.7 error
+    # model, so detections are unchanged (golden-VP slow test pins
+    # the end-to-end angle)
+    return g.astype(jnp.float16)

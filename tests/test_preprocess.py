@@ -133,6 +133,37 @@ def test_sphere_hough_on_synthetic_manhattan():
         assert align > 0.99, (v, align)
 
 
+def test_hough_triple_search_matches_spec():
+    """The chunk-vectorized triple search must reproduce the per-b1 spec
+    loop bit-for-bit (best triple, vote, last cost/angle) — including
+    tie-breaks, which both sides resolve by first-maximum scan order."""
+    from horizonnet_tpu.preprocess.vanishing import (_search_triples,
+                                                     _search_triples_spec)
+
+    candi, _ = icosahedron2sphere(3)
+    bins = candi[~(candi[:, 2] < 0)]
+    n = len(bins)
+    rng = np.random.default_rng(7)
+    from horizonnet_tpu.preprocess.sphere import xyz2uvN
+    check1 = np.nonzero(xyz2uvN(bins)[:, 1] > np.pi / 3)[0]
+    orth_cos = np.cos((90 - 2) * np.pi / 180)
+    third_cos = np.cos(2 * np.pi / 180)
+    for trial in range(4):
+        # quantized votes force plenty of exact ties; a zero fraction
+        # exercises the force_unempty filtering
+        votes = rng.integers(0, 6, n).astype(np.float64)
+        for force in (True, False):
+            nonzero = votes > 0 if force else np.ones(n, bool)
+            a = _search_triples_spec(bins, votes, check1, nonzero,
+                                     orth_cos, third_cos, force)
+            b = _search_triples(bins, votes, check1, nonzero,
+                                orth_cos, third_cos, force)
+            assert a[0] == b[0], (trial, force, a[0], b[0])
+            assert a[1] == b[1]
+            assert np.all(np.asarray(a[2]) == np.asarray(b[2]))
+            assert np.all(np.asarray(a[3]) == np.asarray(b[3]))
+
+
 def test_combine_edges_native_matches_python():
     """The C++ merge rounds (merge.cpp) must reproduce the numpy spec:
     same surviving rows, same order, same float64 values to rounding.
