@@ -89,7 +89,45 @@ def _pack(batches, fmt, dct_ym, dct_cm, dct_q):
     return [b.astype(np.float32) / 255.0 for b in batches]
 
 
+def _wait_for_backend():
+    """Ride out device-tunnel outages before touching jax in-process.
+
+    The remote TPU link has hour-scale outage windows where backend init
+    hangs forever and a mid-compile process wedges unrecoverably (see
+    .claude/skills/verify/SKILL.md). Probing in a THROWAWAY subprocess
+    keeps this process clean; retrying within a budget lets an
+    unattended bench run land after the outage instead of hanging.
+    BENCH_PROBE_BUDGET_S=0 disables the guard.
+    """
+    import subprocess
+    budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", 3600))
+    if budget <= 0:
+        return
+    probe = ("import jax, jax.numpy as jnp\n"
+             "print(jax.jit(lambda x: (x @ x.T).sum())"
+             "(jnp.ones((256, 256))))\n")
+    deadline = time.time() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=150,
+                           check=True, capture_output=True)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() >= deadline:
+                print(f"bench: device probe still failing after "
+                      f"{attempt} attempts / {budget:.0f}s; proceeding",
+                      file=sys.stderr)
+                return
+            print(f"bench: device probe attempt {attempt} failed "
+                  f"(outage or slow phase); retrying in 120s",
+                  file=sys.stderr)
+            time.sleep(120)
+
+
 def main():
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
