@@ -184,18 +184,16 @@ def main():
     # Pipelined serving loop, ``depth`` batches in flight: upload +
     # dispatch batch k+depth before pulling batch k's (tiny) results.
     # jax dispatch is async, so device compute overlaps the next uploads.
-    from collections import deque
+    # This is the product serving loop (inference.serve_stream) — the
+    # same code path the inference CLI drives.
+    from horizonnet_tpu.inference import serve_stream
 
     def serve_loop():
         t0 = time.time()
         results = []
-        q = deque()
-        for k in range(n_batches):
-            q.append(engine.run(engine.put(batches[k % len(batches)])))
-            if len(q) > depth:
-                finish(q.popleft(), results)
-        while q:
-            finish(q.popleft(), results)
+        feed = (batches[k % len(batches)] for k in range(n_batches))
+        for outs in serve_stream(engine, feed, depth=depth):
+            finish(outs, results)
         dt = time.time() - t0
         assert len(results) == n_batches * B
         return n_batches * B / dt

@@ -144,40 +144,29 @@ def _serve(paths, args, model, variables):
 
     from ..utils.profiling import trace_annotation
 
-    for i in range(0, len(paths), args.batch_size):
-        chunk = paths[i:i + args.batch_size]
-        with trace_annotation("serve/ingest"):
-            x = np.stack([load(p) for p in chunk])
-        if engine is not None:
-            # Fixed-batch engine: pad the tail chunk with repeats
-            nb = len(chunk)
-            if nb < args.batch_size:
-                x = np.concatenate(
-                    [x, np.repeat(x[-1:], args.batch_size - nb, 0)])
-            if args.wire == "dct":
-                from ..ops.dct import pack_dct
-                x = pack_dct(x)
-            elif args.wire == "float":
-                x = x.astype(np.float32) / 255.0
-            with trace_annotation("serve/forward+postproc"):
-                outs = engine(x)
-            if args.force_cuboid:
-                cid, z1 = (np.asarray(a) for a in outs)
-                results = [(cid[b], 50.0, float(z1[b]), None)
-                           for b in range(nb)]
-            else:
-                with trace_annotation("serve/general_finish"):
-                    results = [(c, z0, z1, None) for c, z0, z1 in
-                               finish_general_batch(outs)[:nb]]
-        else:
-            x = x.astype(np.float32) / 255.0
-            with trace_annotation("serve/forward+postproc"):
-                results = inference(model, variables, x, flip=args.flip,
-                                    rotate=args.rotate,
-                                    visualize=args.visualize,
-                                    force_cuboid=args.force_cuboid,
-                                    force_raw=args.force_raw,
-                                    min_v=args.min_v, r=args.r)
+    chunks = [paths[i:i + args.batch_size]
+              for i in range(0, len(paths), args.batch_size)]
+
+    def packed_batches():
+        """Lazy ingest: consumed by serve_stream, so reading + wire
+        packing of the NEXT chunks overlaps device compute of the
+        current one."""
+        for chunk in chunks:
+            with trace_annotation("serve/ingest"):
+                x = np.stack([load(p) for p in chunk])
+                # Fixed-batch engine: pad the tail chunk with repeats
+                if len(chunk) < args.batch_size:
+                    x = np.concatenate(
+                        [x, np.repeat(x[-1:], args.batch_size - len(chunk),
+                                      0)])
+                if args.wire == "dct":
+                    from ..ops.dct import pack_dct
+                    x = pack_dct(x)
+                elif args.wire == "float":
+                    x = x.astype(np.float32) / 255.0
+            yield x
+
+    def write_results(chunk, results):
         for path, (cor_id, z0, z1, vis) in zip(chunk, results):
             k = os.path.split(path)[-1][:-4]
             with open(os.path.join(args.output_dir, k + ".json"), "w") as f:
@@ -195,6 +184,39 @@ def _serve(paths, args, model, variables):
                 pbar.update(1)
             else:
                 print(k, flush=True)
+
+    if engine is not None:
+        from ..inference import serve_stream
+        # Lazy ingest generator + depth-3 stream: reads/packing/uploads
+        # of upcoming chunks and JSON writing of finished ones both
+        # overlap the device compute in flight.
+        for chunk, outs in zip(chunks,
+                               serve_stream(engine, packed_batches(),
+                                            depth=3)):
+            nb = len(chunk)
+            if args.force_cuboid:
+                cid, z1 = (np.asarray(a) for a in outs)
+                results = [(cid[b], 50.0, float(z1[b]), None)
+                           for b in range(nb)]
+            else:
+                with trace_annotation("serve/general_finish"):
+                    results = [(c, z0, z1, None) for c, z0, z1 in
+                               finish_general_batch(outs)[:nb]]
+            write_results(chunk, results)
+    else:
+        for chunk in chunks:
+            with trace_annotation("serve/ingest"):
+                x = np.stack([load(p) for p in chunk])
+            x = x.astype(np.float32) / 255.0
+            with trace_annotation("serve/forward+postproc"):
+                results = inference(model, variables, x, flip=args.flip,
+                                    rotate=args.rotate,
+                                    visualize=args.visualize,
+                                    force_cuboid=args.force_cuboid,
+                                    force_raw=args.force_raw,
+                                    min_v=args.min_v, r=args.r)
+            write_results(chunk, results)
+
     if pbar is not None:
         pbar.close()
 

@@ -214,6 +214,29 @@ class InferenceEngine:
         self.variables = _format_put(variables, v_fmt)
 
 
+def serve_stream(engine, batches, depth=3):
+    """Pipelined serving loop: yield engine outputs in input order while
+    keeping up to ``depth`` batches in flight.
+
+    ``batches`` is any iterable of host batches in the engine's wire
+    format; because it is consumed lazily, the caller's ingest work for
+    batch k+1..k+depth (disk read, wire packing) and the async uploads
+    overlap the device compute of batch k. The yielded outputs are
+    device arrays exactly as ``engine(x)`` returns them — np.asarray
+    synchronizes. This is the serving loop bench.py clocks; the
+    inference CLI drives it for --device_postproc runs.
+    """
+    from collections import deque
+
+    q = deque()
+    for x in batches:
+        q.append(engine.run(engine.put(x)))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 # Engine cache for the convenience net_forward/inference path. Entries
 # hold STRONG references to their (model, variables) key objects: the key
 # uses id(), and CPython reuses a freed object's id — without the pinned

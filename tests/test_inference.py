@@ -32,6 +32,28 @@ def test_engine_matches_plain_apply(small_model):
                                np.asarray(jax.nn.sigmoid(cor_p)), atol=1e-5)
 
 
+def test_serve_stream_matches_direct_calls(small_model):
+    """The pipelined serving loop (depth batches in flight) must yield
+    exactly what per-batch engine calls return, in input order, one
+    output per input — including when the feed is shorter than depth."""
+    from horizonnet_tpu.inference import serve_stream
+
+    model, variables = small_model
+    rng = np.random.default_rng(3)
+    eng = InferenceEngine(model, variables, batch_size=1, H=64, W=128)
+    batches = [rng.uniform(0, 1, (1, 64, 128, 3)).astype(np.float32)
+               for _ in range(5)]
+    for depth in (2, 8):   # 8 > len(batches): drain-only path
+        got = list(serve_stream(eng, iter(batches), depth=depth))
+        assert len(got) == len(batches)
+        for x, (bon_s, cor_s) in zip(batches, got):
+            bon_d, cor_d = eng(x)
+            np.testing.assert_array_equal(np.asarray(bon_s),
+                                          np.asarray(bon_d))
+            np.testing.assert_array_equal(np.asarray(cor_s),
+                                          np.asarray(cor_d))
+
+
 def test_engine_uint8_matches_float(small_model):
     model, variables = small_model
     rng = np.random.default_rng(1)
