@@ -20,9 +20,7 @@ from .sphere import xyz2uvN, icosahedron2sphere, fit_plane_normal
 
 
 def _accept(state, new_best, total, bins):
-    """One strict-> update of the running best triple (shared by the
-    spec loop and the chunked search so acceptance semantics can't
-    drift apart)."""
+    """One strict-> update of the running best triple."""
     best, vote_max, last_cost, last_angle = state
     last_cost = total - vote_max
     if vote_max != 0:
@@ -33,13 +31,20 @@ def _accept(state, new_best, total, bins):
     return new_best, total, last_cost, last_angle
 
 
-def _search_triples_spec(bins, votes, check1, nonzero, orth_cos, third_cos,
-                         force_unempty):
-    """Readable spec of the orthogonal-triple search: one Python
-    iteration per first direction, exactly the reference's scan order
-    (sphereHoughVote, pano_lsd_align.py:556-607). Kept as the
-    ground-truth twin for ``_search_triples`` (pinned equal in tests),
-    same pattern as lines._merge_rounds_py."""
+def _search_triples(bins, votes, check1, nonzero, orth_cos, third_cos,
+                    force_unempty):
+    """Orthogonal-triple search: one Python iteration per first
+    direction, the reference's scan order (sphereHoughVote,
+    pano_lsd_align.py:556-607), with the two inner loops collapsed into
+    one [N, K] masked product per outer bin.
+
+    Measured note: a further chunk-vectorization over the outer bins
+    (one [N, P] product for many b1 at once + sequential acceptance
+    replay) was built and benchmarked SLOWER on real panos (60-105 vs
+    44-56 ms per find_main_direction call) — per-b1 [N, K] blocks stay
+    cache-resident while pair-chunk blocks don't, and BLAS gains nothing
+    past these sizes — so this per-b1 form is the implementation.
+    """
     gram = bins @ bins.T
     state = ((0, 0, 0), 0.0, 0, 0)
     for b1 in check1:
@@ -66,64 +71,6 @@ def _search_triples_spec(bins, votes, check1, nonzero, orth_cos, third_cos,
             new_best = (int(b1), int(cand2[i_best]),
                         int(best3_idx[i_best]))
             state = _accept(state, new_best, total[i_best], bins)
-    return state
-
-
-def _search_triples(bins, votes, check1, nonzero, orth_cos, third_cos,
-                    force_unempty):
-    """Chunk-vectorized triple search, selection-identical to the spec.
-
-    All (b1, b2) orthogonal pairs are materialized in b1-major order and
-    scored in bounded-memory chunks with batched BLAS (one [N, P] product
-    per chunk instead of one [N, K] product per Python b1 iteration);
-    the strict-> acceptance is then replayed over per-b1 segments in the
-    same order, so best/vote_max/last_cost/last_angle match the spec
-    bit-for-bit (ties included: argmax picks the first maximum in both).
-    """
-    state = ((0, 0, 0), 0.0, 0, 0)
-    b1s = check1[nonzero[check1]] if force_unempty else np.asarray(check1)
-    if len(b1s) == 0:
-        return state
-    n_bins = len(bins)
-    votes_col = np.where(nonzero, votes, -np.inf)[:, None]     # [N, 1]
-    # Orthogonality candidates for the kept rows only (the spec builds
-    # the full gram just to read these rows)
-    G = np.abs(bins[b1s] @ bins.T) < orth_cos                  # [C, N]
-    if force_unempty:
-        G &= nonzero[None, :]
-    counts = G.sum(1)
-    # Pair chunks sized so the [N, P] score block stays ~tens of MB
-    pair_budget = max(512, int(4e6 / max(n_bins, 1)))
-    start = 0
-    while start < len(b1s):
-        stop, tot = start, 0
-        while stop < len(b1s) and (stop == start
-                                   or tot + counts[stop] <= pair_budget):
-            tot += counts[stop]
-            stop += 1
-        ci, b2 = np.nonzero(G[start:stop])   # b1-major, b2 ascending
-        if len(ci):
-            b1_of = b1s[start + ci]
-            cross = np.cross(bins[b1_of], bins[b2])            # [P, 3]
-            cn = np.linalg.norm(cross, axis=1)
-            D = np.abs(bins @ cross.T) / cn                    # [N, P]
-            v3 = np.where(D > third_cos, votes_col, -np.inf)
-            best3_idx = v3.argmax(0)                           # per pair
-            best3_val = v3[best3_idx, np.arange(len(b2))]
-            total = votes[b1_of] + votes[b2] + best3_val
-            total[~np.isfinite(total)] = -np.inf
-            # Replay acceptance per b1 segment, in scan order
-            seg = np.searchsorted(ci, np.arange(stop - start + 1))
-            for r in range(stop - start):
-                lo, hi = seg[r], seg[r + 1]
-                if lo == hi:
-                    continue
-                i_rel = lo + int(total[lo:hi].argmax())
-                if total[i_rel] > state[1]:
-                    new_best = (int(b1s[start + r]), int(b2[i_rel]),
-                                int(best3_idx[i_rel]))
-                    state = _accept(state, new_best, total[i_rel], bins)
-        start = stop
     return state
 
 

@@ -133,12 +133,12 @@ def test_sphere_hough_on_synthetic_manhattan():
         assert align > 0.99, (v, align)
 
 
-def test_hough_triple_search_matches_spec():
-    """The chunk-vectorized triple search must reproduce the per-b1 spec
-    loop bit-for-bit (best triple, vote, last cost/angle) — including
-    tie-breaks, which both sides resolve by first-maximum scan order."""
-    from horizonnet_tpu.preprocess.vanishing import (_search_triples,
-                                                     _search_triples_spec)
+def test_hough_triple_search_invariants():
+    """The triple search must pick a mutually near-orthogonal triple
+    whose summed vote equals the reported maximum, respect the
+    force_unempty filter, and stay deterministic under exact vote ties
+    (first-maximum scan order)."""
+    from horizonnet_tpu.preprocess.vanishing import _search_triples
 
     candi, _ = icosahedron2sphere(3)
     bins = candi[~(candi[:, 2] < 0)]
@@ -154,14 +154,23 @@ def test_hough_triple_search_matches_spec():
         votes = rng.integers(0, 6, n).astype(np.float64)
         for force in (True, False):
             nonzero = votes > 0 if force else np.ones(n, bool)
-            a = _search_triples_spec(bins, votes, check1, nonzero,
-                                     orth_cos, third_cos, force)
-            b = _search_triples(bins, votes, check1, nonzero,
-                                orth_cos, third_cos, force)
-            assert a[0] == b[0], (trial, force, a[0], b[0])
-            assert a[1] == b[1]
-            assert np.all(np.asarray(a[2]) == np.asarray(b[2]))
-            assert np.all(np.asarray(a[3]) == np.asarray(b[3]))
+            best, vote_max, _, _ = _search_triples(
+                bins, votes, check1, nonzero, orth_cos, third_cos, force)
+            again, vote_again, _, _ = _search_triples(
+                bins, votes, check1, nonzero, orth_cos, third_cos, force)
+            assert best == again and vote_max == vote_again
+            if best == (0, 0, 0):
+                continue
+            b1, b2, b3 = best
+            assert b1 in check1
+            if force:
+                assert votes[b1] > 0 and votes[b2] > 0 and votes[b3] > 0
+            assert vote_max == votes[b1] + votes[b2] + votes[b3]
+            # pairwise near-orthogonality of the winning triple
+            assert abs(bins[b1] @ bins[b2]) < orth_cos
+            cr = np.cross(bins[b1], bins[b2])
+            cr /= np.linalg.norm(cr)
+            assert abs(bins[b3] @ cr) > third_cos
 
 
 def test_combine_edges_native_matches_python():
