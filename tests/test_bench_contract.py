@@ -56,3 +56,23 @@ def test_bench_helpers_match_engine_contract():
                  "BENCH_DCT_CHROMA_M", "BENCH_DCT_Q", "BENCH_LSTM",
                  "BENCH_S2D", "BENCH_PROBE_BUDGET_S"):
         assert knob in src, knob
+
+
+def test_serve_stream_ordering_with_fake_engine():
+    """bench's timed loop and the CLI both ride inference.serve_stream;
+    its in-order, one-output-per-input contract must hold regardless of
+    depth (a real-engine equivalence test lives in test_inference)."""
+    from horizonnet_tpu.inference import serve_stream
+
+    class FakeEngine:
+        def put(self, x):
+            return x
+
+        def run(self, x):
+            return ("out", x)
+
+    eng = FakeEngine()
+    for depth in (1, 3, 10):
+        got = list(serve_stream(eng, iter(range(7)), depth=depth))
+        assert got == [("out", k) for k in range(7)]
+    assert list(serve_stream(eng, iter([]), depth=3)) == []
