@@ -149,10 +149,17 @@ def main():
     lstm_impl = os.environ.get("BENCH_LSTM", "pallas")
     postproc = os.environ.get("BENCH_POSTPROC", "cuboid")
     s2d = os.environ.get("BENCH_S2D", "0") != "0"
+    quant = os.environ.get("BENCH_QUANT", "0") != "0"
     H, W = 512, 1024
     model = build_model("resnet50", use_rnn=True, dtype=jnp.bfloat16,
-                        lstm_impl=lstm_impl, s2d_stem=s2d)
-    variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+                        lstm_impl=lstm_impl, s2d_stem=s2d,
+                        quant_int8=quant)
+    fmodel = (build_model("resnet50", use_rnn=True, dtype=jnp.bfloat16,
+                          lstm_impl=lstm_impl) if quant else model)
+    variables = init_model(fmodel, jax.random.PRNGKey(0), (1, H, W, 3))
+    if quant:
+        from horizonnet_tpu.models.quant import quantize_variables
+        variables = quantize_variables(variables)
     engine = InferenceEngine(model, variables, batch_size=B, H=H, W=W,
                              input_format=fmt, postproc=postproc,
                              dct_luma_m=dct_ym, dct_chroma_m=dct_cm,

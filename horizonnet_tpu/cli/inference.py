@@ -52,6 +52,13 @@ def main(argv=None):
                         help="space-to-depth rewrite of the resnet stem "
                              "conv (same checkpoint params, identical "
                              "outputs; MXU-friendlier on TPU)")
+    parser.add_argument("--quant_int8", action="store_true",
+                        help="post-training int8 quantization of the "
+                             "resnet encoder for serving (BN folded, "
+                             "per-channel weight scales, dynamic "
+                             "activation scales; <0.2 px corner drift "
+                             "on the committed golden). The checkpoint "
+                             "stays float; conversion happens at load")
     parser.add_argument("--lstm_impl", default="auto",
                         choices=["auto", "scan", "pallas"],
                         help="LSTM recurrence: fused Pallas kernel on TPU "
@@ -83,13 +90,17 @@ def main(argv=None):
         lstm_impl = ("pallas" if jax.devices()[0].platform == "tpu"
                      else "scan")
     # Serving-time rewrites that reuse the loaded parameter tree: bf16
-    # compute, the fused Pallas LSTM, and the space-to-depth stem
+    # compute, the fused Pallas LSTM, the space-to-depth stem, and the
+    # int8 encoder (which also converts the tree, models/quant.py)
     s2d = args.s2d_stem
-    if args.bf16 or lstm_impl != "scan" or s2d:
+    if args.bf16 or lstm_impl != "scan" or s2d or args.quant_int8:
         model = build_model(model.backbone, model.use_rnn,
                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                             seam_pool=model.seam_pool, lstm_impl=lstm_impl,
-                            s2d_stem=s2d)
+                            s2d_stem=s2d, quant_int8=args.quant_int8)
+    if args.quant_int8:
+        from ..models.quant import quantize_variables
+        variables = quantize_variables(variables)
 
     import contextlib
     if args.profile_dir:

@@ -95,6 +95,7 @@ class HorizonNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lstm_impl: str = "scan"   # "pallas" for the fused serving kernel
     s2d_stem: bool = False    # space-to-depth conv1 (resnet; same params)
+    quant_int8: bool = False  # serving-only int8 encoder (models/quant.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -106,9 +107,14 @@ class HorizonNet(nn.Module):
         if self.backbone.startswith("res"):
             feats = ResNetEncoder(self.backbone, self.dtype, self.seam_pool,
                                   self.bn_momentum, self.s2d_stem,
+                                  self.quant_int8,
                                   name="encoder")(x, train)
             channels = resnet_feature_channels(self.backbone)
         elif self.backbone.startswith("dense"):
+            if self.quant_int8:
+                raise NotImplementedError(
+                    "quant_int8 covers the resnet family (the FLOPs-"
+                    "dominant encoders); densenet stays float")
             feats = DenseNetEncoder(self.backbone, self.dtype, self.seam_pool,
                                     self.bn_momentum, self.s2d_stem,
                                     name="encoder")(x, train)

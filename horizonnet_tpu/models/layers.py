@@ -49,6 +49,55 @@ class WrapConv(nn.Module):
         return conv(x)
 
 
+class QuantConvBN(nn.Module):
+    """Serving-only int8 conv with its BatchNorm folded in.
+
+    Parameters (built by models/quant.py quantize_variables from a float
+    checkpoint — never trained directly): ``kernel_q`` int8
+    [kh, kw, in/groups, out] symmetric per-out-channel, ``scale`` f32
+    [out] (the per-channel weight step with the BN gamma/sigma folded
+    in), ``bias`` f32 [out] (the folded BN shift). The activation is
+    quantized per-tensor with a dynamic max-abs scale, the conv
+    accumulates int8 x int8 -> int32 on the MXU's double-rate integer
+    path, and the result is dequantized + biased in f32.
+
+    Padding semantics match WrapConv (wrap on W, zeros on H) — zeros are
+    exact in the quantized domain. Inference only: BN is folded, so
+    there is no train mode.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)  # (pad_h, pad_w)
+    groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1] // self.groups
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (kh, kw, in_ch, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        ph, pw = self.padding
+        if pw > 0:
+            xq = wrap_pad_width(xq, pw, axis=2)
+        y = lax.conv_general_dilated(
+            xq, kq, self.strides, ((ph, ph), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (scale * sx) + bias
+        return out.astype(self.dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d with torch semantics (eps 1e-5, momentum 0.1).
 

@@ -18,12 +18,17 @@ def build_model(backbone: str = "resnet50", use_rnn: bool = True,
                 dtype=jnp.float32, seam_pool: bool = False,
                 bn_momentum: float = 0.1,
                 lstm_impl: str = "scan",
-                s2d_stem: bool = False) -> HorizonNet:
+                s2d_stem: bool = False,
+                quant_int8: bool = False) -> HorizonNet:
     if backbone not in ENCODER_RESNET + ENCODER_DENSENET:
         raise ValueError(f"unknown backbone {backbone!r}")
+    if quant_int8 and s2d_stem:
+        raise ValueError("quant_int8 and s2d_stem are mutually exclusive "
+                         "(the quant stem is the plain 7x7 path)")
     return HorizonNet(backbone=backbone, use_rnn=use_rnn, dtype=dtype,
                       seam_pool=seam_pool, bn_momentum=bn_momentum,
-                      lstm_impl=lstm_impl, s2d_stem=s2d_stem)
+                      lstm_impl=lstm_impl, s2d_stem=s2d_stem,
+                      quant_int8=quant_int8)
 
 
 def init_model(model: HorizonNet, key, input_shape=(1, 512, 1024, 3)):

@@ -16,7 +16,26 @@ import flax.linen as nn
 
 from ..ops.lstm import matmul_precision
 from ..ops.pad import wrap_pad_width
-from .layers import WrapConv, BatchNorm, max_pool_same_as_torch
+from .layers import WrapConv, BatchNorm, QuantConvBN, max_pool_same_as_torch
+
+
+def _conv_bn(x, features, kernel_size, strides, padding, cname, bname,
+             dtype, bn_momentum, quant, train, groups=1):
+    """One Conv+BN unit, float or serving-int8.
+
+    Float: WrapConv(name=cname) + BatchNorm(name=bname) — the canonical
+    checkpoint tree. Quant: QuantConvBN(name=cname) with the BN folded
+    into its params (models/quant.py quantize_variables converts one
+    tree to the other); the bn module vanishes from the quant tree.
+    """
+    if quant:
+        assert not train, "int8 path is serving-only (BN folded)"
+        return QuantConvBN(features, kernel_size, strides, padding,
+                           groups=groups, dtype=dtype, name=cname)(x)
+    out = WrapConv(features, kernel_size, strides, padding, groups=groups,
+                   dtype=dtype, name=cname)(x)
+    return BatchNorm(momentum=bn_momentum, dtype=dtype, name=bname)(
+        out, train)
 
 
 class _StemKernelParams(nn.Module):
@@ -74,21 +93,24 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.1
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = WrapConv(self.planes, (3, 3), (self.stride, self.stride), (1, 1),
-                       dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn1")(out, train)
+        out = _conv_bn(x, self.planes, (3, 3), (self.stride, self.stride),
+                       (1, 1), "conv1", "bn1", self.dtype, self.bn_momentum,
+                       self.quant, train)
         out = nn.relu(out)
-        out = WrapConv(self.planes, (3, 3), (1, 1), (1, 1),
-                       dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn2")(out, train)
+        out = _conv_bn(out, self.planes, (3, 3), (1, 1), (1, 1),
+                       "conv2", "bn2", self.dtype, self.bn_momentum,
+                       self.quant, train)
         if self.downsample:
-            identity = WrapConv(self.planes, (1, 1), (self.stride, self.stride),
-                                (0, 0), dtype=self.dtype, name="downsample_conv")(x)
-            identity = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="downsample_bn")(identity, train)
+            identity = _conv_bn(x, self.planes, (1, 1),
+                                (self.stride, self.stride), (0, 0),
+                                "downsample_conv", "downsample_bn",
+                                self.dtype, self.bn_momentum, self.quant,
+                                train)
         return nn.relu(out + identity)
 
 
@@ -100,25 +122,28 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.1
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = WrapConv(width, (1, 1), dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn1")(out, train)
+        out = _conv_bn(x, width, (1, 1), (1, 1), (0, 0), "conv1", "bn1",
+                       self.dtype, self.bn_momentum, self.quant, train)
         out = nn.relu(out)
-        out = WrapConv(width, (3, 3), (self.stride, self.stride), (1, 1),
-                       groups=self.groups, dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn2")(out, train)
+        out = _conv_bn(out, width, (3, 3), (self.stride, self.stride),
+                       (1, 1), "conv2", "bn2", self.dtype, self.bn_momentum,
+                       self.quant, train, groups=self.groups)
         out = nn.relu(out)
-        out = WrapConv(self.planes * 4, (1, 1), dtype=self.dtype, name="conv3")(out)
-        out = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn3")(out, train)
+        out = _conv_bn(out, self.planes * 4, (1, 1), (1, 1), (0, 0),
+                       "conv3", "bn3", self.dtype, self.bn_momentum,
+                       self.quant, train)
         if self.downsample:
-            identity = WrapConv(self.planes * 4, (1, 1),
+            identity = _conv_bn(x, self.planes * 4, (1, 1),
                                 (self.stride, self.stride), (0, 0),
-                                dtype=self.dtype, name="downsample_conv")(x)
-            identity = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="downsample_bn")(identity, train)
+                                "downsample_conv", "downsample_bn",
+                                self.dtype, self.bn_momentum, self.quant,
+                                train)
         return nn.relu(out + identity)
 
 
@@ -142,16 +167,24 @@ class ResNetEncoder(nn.Module):
     seam_pool: bool = False  # wrap-pad the maxpool (exact seam equivariance)
     bn_momentum: float = 0.1
     s2d_stem: bool = False   # space-to-depth conv1 (same params, TPU win)
+    quant: bool = False      # serving-only int8 convs (models/quant.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         block, layers, groups, base_width = _RESNET_SPECS[self.backbone]
-        if self.s2d_stem:
-            x = S2DStemConv(dtype=self.dtype, name="conv1")(x)
+        if self.quant:
+            assert not self.s2d_stem, \
+                "quant stem is the plain 7x7 path (s2d_stem unsupported)"
+            x = _conv_bn(x, 64, (7, 7), (2, 2), (3, 3), "conv1", "bn1",
+                         self.dtype, self.bn_momentum, True, train)
         else:
-            x = WrapConv(64, (7, 7), (2, 2), (3, 3), dtype=self.dtype,
-                         name="conv1")(x)
-        x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype, name="bn1")(x, train)
+            if self.s2d_stem:
+                x = S2DStemConv(dtype=self.dtype, name="conv1")(x)
+            else:
+                x = WrapConv(64, (7, 7), (2, 2), (3, 3), dtype=self.dtype,
+                             name="conv1")(x)
+            x = BatchNorm(momentum=self.bn_momentum, dtype=self.dtype,
+                          name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool_same_as_torch(x, 3, 2, 1, wrap_width=self.seam_pool)
 
@@ -164,12 +197,12 @@ class ResNetEncoder(nn.Module):
                 if block is Bottleneck:
                     need_ds = bi == 0 and (s != 1 or li == 0)
                     x = Bottleneck(planes, s, need_ds, groups, base_width,
-                                   self.dtype, self.bn_momentum,
+                                   self.dtype, self.bn_momentum, self.quant,
                                    name=f"layer{li+1}_{bi}")(x, train)
                 else:
                     need_ds = bi == 0 and s != 1
                     x = BasicBlock(planes, s, need_ds, self.dtype,
-                                   self.bn_momentum,
+                                   self.bn_momentum, self.quant,
                                    name=f"layer{li+1}_{bi}")(x, train)
             feats.append(x)
             planes *= 2

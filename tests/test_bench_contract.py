@@ -54,7 +54,7 @@ def test_bench_helpers_match_engine_contract():
     for knob in ("BENCH_B", "BENCH_DEPTH", "BENCH_FMT", "BENCH_POSTPROC",
                  "BENCH_REPS", "BENCH_E2E", "BENCH_DCT_LUMA_M",
                  "BENCH_DCT_CHROMA_M", "BENCH_DCT_Q", "BENCH_LSTM",
-                 "BENCH_S2D", "BENCH_PROBE_BUDGET_S"):
+                 "BENCH_S2D", "BENCH_PROBE_BUDGET_S", "BENCH_QUANT"):
         assert knob in src, knob
 
 
