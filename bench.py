@@ -279,6 +279,9 @@ def main():
                                   if preprocess_s is not None else None),
         "wire_bytes_per_pano": int(wire_bytes),
         "baseline_panos_per_sec": REFERENCE_PANOS_PER_SEC_ESTIMATE,
+        "config": {"batch": B, "depth": depth, "fmt": fmt,
+                   "postproc": postproc, "lstm": lstm_impl,
+                   "s2d_stem": s2d, "quant_int8": quant},
     }))
     return 0
 
