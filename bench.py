@@ -205,13 +205,14 @@ def main():
         assert len(results) == n_batches * B
         return n_batches * B / dt
 
-    # The loop is repeated and the best rep reported as the headline: the
-    # sandbox's host<->device tunnel is bimodal (see README), so a single
-    # window can land in a stall phase that says nothing about the
-    # serving code. The full rep list is emitted alongside.
+    # The loop is repeated and the MEDIAN rep reported as the headline
+    # (cross-round comparisons read this; a best-of-N headline would
+    # credit tunnel luck). The best rep and the full list are emitted
+    # alongside — the sandbox's host<->device tunnel is bimodal (see
+    # README), so the spread is part of the story.
     n_reps = max(1, int(os.environ.get("BENCH_REPS", 3)))
     reps = [serve_loop() for _ in range(n_reps)]
-    panos_per_sec = max(reps)
+    panos_per_sec = float(np.median(reps))
 
     # Compute-bound figure: the same program clocked on a device-resident
     # batch — no host->device ingest in the timed window. Completion is
@@ -232,38 +233,87 @@ def main():
     _force(outs[-1])
     device_pps = n_dev * B / (time.time() - t0)
 
-    # The BASELINE.json end-to-end metric: raw pano -> VP align -> infer.
-    e2e_pps = preprocess_s = None
+    # The BASELINE.json end-to-end metric: raw pano -> VP align -> infer,
+    # pipelined the way a production ingester would run it: a host
+    # thread pool VP-aligns panos (pure host work since round 4 —
+    # preprocess/host_resample) while serve_stream keeps the device fed,
+    # so preprocess overlaps device compute instead of serializing with
+    # it. The line-map raster is skipped (want_pano_edge=False):
+    # HorizonNet consumes only the aligned RGB (ref inference.py:196-200
+    # reads *_aligned_rgb.png; *_aligned_line.png feeds LayoutNet, not
+    # this model).
+    e2e_pps = preprocess_s = e2e_vs_baseline = ref_e2e = None
+    e2e_workers = None
     if os.environ.get("BENCH_E2E", "1") != "0" and os.path.isfile(DEMO_RAW):
+        from concurrent.futures import ThreadPoolExecutor
         from PIL import Image
         from horizonnet_tpu.preprocess import (pano_edge_detection,
                                                rotate_panorama_uint8)
         raw = np.array(Image.open(DEMO_RAW).resize((W, H),
                                                    Image.BICUBIC))[..., :3]
-        # Warmup (device view-cut/rotate programs compile here)
-        r = pano_edge_detection(raw, want_pano_edge=False)
-        rotate_panorama_uint8(raw, r["vp"][2::-1])
-        n_e2e, t_pre = 3, 0.0
+        rng = np.random.default_rng(1)
+        e2e_workers = int(os.environ.get(
+            "BENCH_E2E_WORKERS", min(8, os.cpu_count() or 1)))
+        B_e2e = int(os.environ.get("BENCH_E2E_B", 8))
+        n_e2e = int(os.environ.get(
+            "BENCH_E2E_N", max(2 * B_e2e, 2 * B_e2e * e2e_workers)))
+        n_e2e -= n_e2e % B_e2e
+        raws = [np.roll(raw, int(r), axis=1)
+                for r in rng.integers(0, W, n_e2e)]
+
+        def preprocess_one(pano):
+            r = pano_edge_detection(pano, want_pano_edge=False,
+                                    lsd_workers=1)
+            return rotate_panorama_uint8(pano, r["vp"][2::-1])
+
+        e2e_engine = (engine if B_e2e == B else
+                      InferenceEngine(model, variables, batch_size=B_e2e,
+                                      H=H, W=W, input_format=fmt,
+                                      postproc=postproc, dct_luma_m=dct_ym,
+                                      dct_chroma_m=dct_cm,
+                                      dct_quality=dct_q))
+        # Warmup one pano through both stages (compiles the engine)
         t0 = time.time()
-        for _ in range(n_e2e):
-            tp = time.time()
-            r = pano_edge_detection(raw, want_pano_edge=False)
-            aligned = rotate_panorama_uint8(raw, r["vp"][2::-1])
-            t_pre += time.time() - tp
-            xb = np.broadcast_to(aligned, (B, H, W, 3))
-            res = []
-            finish(engine(_pack([xb], fmt, dct_ym, dct_cm, dct_q)[0]), res)
-        # one pano per preprocess; the batched forward amortizes over B
-        # panos in steady serving, so count 1/B of the batch step here
+        warm = preprocess_one(raws[0])
+        preprocess_s = time.time() - t0   # single-stream s/pano figure
+        res0 = []
+        finish(e2e_engine(_pack([np.broadcast_to(warm, (B_e2e, H, W, 3))],
+                                fmt, dct_ym, dct_cm, dct_q)[0]), res0)
+
+        results = []
+        t0 = time.time()
+        with ThreadPoolExecutor(e2e_workers) as pool:
+            aligned_iter = pool.map(preprocess_one, raws)
+
+            def batch_feed():
+                buf = []
+                for a in aligned_iter:
+                    buf.append(a)
+                    if len(buf) == B_e2e:
+                        yield _pack([np.stack(buf)], fmt, dct_ym,
+                                    dct_cm, dct_q)[0]
+                        buf = []
+
+            for outs in serve_stream(e2e_engine, batch_feed(), depth=2):
+                finish(outs, results)
         dt = time.time() - t0
-        e2e_pps = n_e2e / (t_pre + (dt - t_pre) / B)
-        preprocess_s = t_pre / n_e2e
+        assert len(results) == n_e2e
+        e2e_pps = n_e2e / dt
+        # Divisor: the measured reference pipeline on this host
+        # (tools/ref_e2e.py writes REF_E2E.json), else None.
+        ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "REF_E2E.json")
+        if os.path.isfile(ref_path):
+            with open(ref_path) as f:
+                ref_e2e = json.load(f).get("e2e_panos_per_sec")
+            if ref_e2e:
+                e2e_vs_baseline = round(e2e_pps / ref_e2e, 2)
 
     print(json.dumps({
         "metric": f"serving panos/sec (bf16 resnet50_rnn fwd + full "
                   f"{postproc} post-proc on device, batch {B}, 512x1024 "
                   f"aligned demo panos, {fmt} ingest "
-                  f"[{wire_bytes // 1024} KiB/pano], best of {n_reps} "
+                  f"[{wire_bytes // 1024} KiB/pano], median of {n_reps} "
                   f"timed loops; spread + compute-bound + preprocess-"
                   f"inclusive figures in extra fields)",
         "value": round(panos_per_sec, 2),
@@ -271,10 +321,13 @@ def main():
         "vs_baseline": round(panos_per_sec / REFERENCE_PANOS_PER_SEC_ESTIMATE,
                              2),
         "reps_panos_per_sec": [round(r, 2) for r in reps],
-        "median_panos_per_sec": round(float(np.median(reps)), 2),
+        "best_panos_per_sec": round(max(reps), 2),
         "device_panos_per_sec": round(device_pps, 2),
         "e2e_panos_per_sec": (round(e2e_pps, 2)
                               if e2e_pps is not None else None),
+        "e2e_vs_baseline": e2e_vs_baseline,
+        "ref_e2e_panos_per_sec": ref_e2e,
+        "e2e_workers": e2e_workers,
         "preprocess_s_per_pano": (round(preprocess_s, 3)
                                   if preprocess_s is not None else None),
         "wire_bytes_per_pano": int(wire_bytes),

@@ -63,24 +63,32 @@ def _rot_u8_jit(img, Rinv):
     return jnp.clip(jnp.floor(out), 0, 255).astype(jnp.uint8)
 
 
-def rotate_panorama(img, vp=None, R=None):
+def rotate_panorama(img, vp=None, R=None, backend=None):
     """img: [H, W, C]; vp: (3,3) VP rows or R: explicit rotation."""
+    from .views import preprocess_backend
+    if preprocess_backend(backend) == "host":
+        from .host_resample import rotate_panorama_host
+        return rotate_panorama_host(img, vp=vp, R=R)
     if R is None:
         R = np.linalg.inv(np.asarray(vp, np.float64).T)
     Rinv = np.linalg.inv(R)
     return np.asarray(_rot_jit(jnp.asarray(img), jnp.asarray(Rinv)))
 
 
-def rotate_panorama_uint8(img_u8, vp=None, R=None):
+def rotate_panorama_uint8(img_u8, vp=None, R=None, backend=None):
     """uint8-in / uint8-out VP alignment warp: [H, W, C] 0..255.
 
-    Keeps the whole f32 interpolation on device but moves the final
-    ``floor(x)`` quantization there too, so both directions of the
+    Device backend keeps the whole f32 interpolation on device and the
+    final ``floor(x)`` quantization there too, so both directions of the
     host<->device transfer are 1 byte/channel instead of 4 (the PNGs the
     preprocess CLI reads and writes are uint8 anyway). Values match the
     float path + host quantization except for the rare interpolated
     pixel landing within f32 rounding of an integer boundary (+-1 LSB).
     """
+    from .views import preprocess_backend
+    if preprocess_backend(backend) == "host":
+        from .host_resample import rotate_panorama_uint8_host
+        return rotate_panorama_uint8_host(img_u8, vp=vp, R=R)
     if R is None:
         R = np.linalg.inv(np.asarray(vp, np.float64).T)
     Rinv = np.linalg.inv(R)

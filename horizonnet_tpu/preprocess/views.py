@@ -10,12 +10,28 @@ every 30 deg, 12 at elevation +-45 deg, 2 poles; fov pi/3, 320 px.
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..ops.resample import bilinear_wrap_sample
+
+
+def preprocess_backend(backend=None):
+    """Resolve the warp backend: 'host' (numpy, default) or 'device'.
+
+    Every stage around these warps (LSD, merge, Hough, refit) is host
+    work, so the device path only pays off when the host<->device link
+    is fast and the host is the bottleneck — on this sandbox's tunnel
+    (~25-35 MB/s once a program is loaded) the host path is ~10x faster
+    end to end. HORIZONNET_PREPROCESS_BACKEND overrides.
+    """
+    b = backend or os.environ.get("HORIZONNET_PREPROCESS_BACKEND", "host")
+    if b not in ("host", "device"):
+        raise ValueError(f"unknown preprocess backend {b!r}")
+    return b
 
 
 def view_directions():
@@ -75,12 +91,16 @@ def _view_source_coords(vx, vy, size, fov, sphereH, sphereW):
     return Py - 1.0, Px - 1.0
 
 
-def cut_views(pano, size=320, fov=np.pi / 3, directions=None):
+def cut_views(pano, size=320, fov=np.pi / 3, directions=None, backend=None):
     """Cut all views at once. pano: [H, W, C] float. Returns [V, S, S, C].
 
     Wrap-addressing replaces the reference's 2-column pad + clamp; the two
     agree everywhere except sub-pixel at the seam, where wrap is exact.
     """
+    if preprocess_backend(backend) == "host":
+        from .host_resample import cut_views_host
+        return cut_views_host(pano, size=size, fov=fov,
+                              directions=directions)
     if directions is None:
         xs, ys = VIEW_DIRECTIONS
     else:
@@ -115,14 +135,21 @@ def rgb_to_gray(views):
     return (views * w).sum(-1)
 
 
-def cut_views_gray(pano, size=320, fov=np.pi / 3, directions=None):
-    """Cut all views and reduce to grayscale in ONE device program.
+def cut_views_gray(pano, size=320, fov=np.pi / 3, directions=None,
+                   backend=None):
+    """Cut all views and reduce to grayscale in ONE program.
 
-    Returns [V, S, S] luma only — the VP pipeline needs just the grays
-    for LSD, and fusing the reduction before the download cuts the
-    host<-device traffic 4x vs materializing the RGB views ([V,S,S,3]
-    f32) and graying on a second pass.
+    Host backend (default): fixed precomputed gather tables, f32 out.
+    Device backend: one fused cut+luma gather; returns [V, S, S] luma
+    only, f16 — the VP pipeline needs just the grays for LSD, and fusing
+    the reduction before the download cuts the host<-device traffic 4x
+    vs materializing the RGB views ([V,S,S,3] f32) and graying on a
+    second pass.
     """
+    if preprocess_backend(backend) == "host":
+        from .host_resample import cut_views_gray_host
+        return cut_views_gray_host(pano, size=size, fov=fov,
+                                   directions=directions)
     if directions is None:
         xs, ys = VIEW_DIRECTIONS
     else:

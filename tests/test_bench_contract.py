@@ -54,8 +54,16 @@ def test_bench_helpers_match_engine_contract():
     for knob in ("BENCH_B", "BENCH_DEPTH", "BENCH_FMT", "BENCH_POSTPROC",
                  "BENCH_REPS", "BENCH_E2E", "BENCH_DCT_LUMA_M",
                  "BENCH_DCT_CHROMA_M", "BENCH_DCT_Q", "BENCH_LSTM",
-                 "BENCH_S2D", "BENCH_PROBE_BUDGET_S", "BENCH_QUANT"):
+                 "BENCH_S2D", "BENCH_PROBE_BUDGET_S", "BENCH_QUANT",
+                 "BENCH_E2E_WORKERS", "BENCH_E2E_B", "BENCH_E2E_N"):
         assert knob in src, knob
+
+    # Headline contract (round-3 verdict): value = MEDIAN of reps, best
+    # kept as a side field; e2e carries its own measured divisor.
+    assert "panos_per_sec = float(np.median(reps))" in src
+    for field in ("best_panos_per_sec", "e2e_vs_baseline",
+                  "ref_e2e_panos_per_sec"):
+        assert field in src, field
 
 
 def test_serve_stream_ordering_with_fake_engine():
