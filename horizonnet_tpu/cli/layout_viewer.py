@@ -29,6 +29,10 @@ def main(argv=None):
                         help="write a headless 4-view preview PNG of the "
                              "textured layout (viewer/render.py; no GUI "
                              "or open3d needed)")
+    parser.add_argument("--html", default=None,
+                        help="write a self-contained interactive WebGL "
+                             "viewer (viewer/html.py; opens from disk in "
+                             "any browser, no GUI stack or open3d needed)")
     parser.add_argument("--ignore_floor", action="store_true")
     parser.add_argument("--ignore_ceiling", action="store_true")
     parser.add_argument("--ignore_wall", action="store_true")
@@ -60,19 +64,40 @@ def main(argv=None):
         write_ply(args.out, xyz, rgb, faces)
         print(f"wrote {args.out}: {len(xyz)} vertices, {len(faces)} faces")
     vis_out = args.vis_out
+    html_out = args.html
     has_open3d = False
     if args.vis:
         try:
             import open3d  # noqa: F401
             has_open3d = True
         except ImportError:
-            if vis_out is None:
+            if html_out is None:
                 # No GUI stack in this environment: degrade to the
-                # headless preview so --vis still produces a view
-                vis_out = args.img + ".preview.png"
-                print("open3d not available; writing headless preview to "
-                      f"{vis_out} instead (see also --vis_out)",
-                      file=sys.stderr)
+                # self-contained HTML viewer, which is still INTERACTIVE
+                # (orbit/zoom in any browser), plus the headless preview
+                html_out = args.img + ".viewer.html"
+                print("open3d not available; writing interactive HTML "
+                      f"viewer to {html_out} instead (see also --html / "
+                      "--vis_out)", file=sys.stderr)
+    if html_out:
+        from ..viewer.html import write_html_viewer
+        from ..viewer.mesh import grid_triangulate, layout_to_points
+        wf = None
+        if not args.ignore_wireframe:
+            pts, lines, _ = corner_wireframe(cor_id, H, W)
+            wf = (pts, lines)
+        # Decimate the pixel grid 2x before triangulating (holes-free,
+        # unlike dropping faces) to bound the embedded payload
+        xyz_g, rgb_g, mask = layout_to_points(
+            cor_id, img, args.ignore_floor, args.ignore_ceiling,
+            args.ignore_wall)
+        s = 2
+        faces_d = grid_triangulate(mask[::s, ::s])
+        nv, nf = write_html_viewer(
+            html_out, xyz_g[::s, ::s].reshape(-1, 3),
+            rgb_g[::s, ::s].reshape(-1, 3), faces_d, wireframe=wf)
+        print(f"wrote {html_out}: interactive viewer, {nv} vertices, "
+              f"{nf} faces")
     if vis_out:
         from ..viewer.render import render_layout_views
         strip = render_layout_views(xyz, rgb)

@@ -91,3 +91,82 @@ def test_corner_wireframe_geometry():
     assert np.allclose(np.sort(points[:4, 1]), [-2, -2, 2, 2], atol=0.05)
     # Verticals connect corner i to corner i+N
     assert (lines[8:] == np.stack([np.arange(4), np.arange(4) + 4], -1)).all()
+
+
+def test_html_viewer_payload_roundtrip(tmp_path):
+    """The self-contained HTML viewer: embedded typed arrays must decode
+    back to the exact decimated mesh, vertices must be compacted to the
+    used subset, and the page must be fully self-contained (no external
+    script/src URLs — zero-egress deployments open it from disk)."""
+    import base64
+    import json
+    import re
+
+    import numpy as np
+    from horizonnet_tpu.viewer.html import write_html_viewer
+    from horizonnet_tpu.viewer.mesh import (corner_wireframe,
+                                            grid_triangulate,
+                                            layout_to_points)
+    from horizonnet_tpu.geometry import xy2coor
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 128
+    img = rng.uniform(0, 1, (H, W, 3))
+    pts = np.array([[-3.0, -2.0], [3.0, -2.0], [3.0, 2.0], [-3.0, 2.0]])
+    floor = xy2coor(pts, -1.6, W, H, floorW=1, floorH=1)
+    ceil = xy2coor(pts, 1.2, W, H, floorW=1, floorH=1)
+    cor_id = np.zeros((8, 2))
+    cor_id[0::2], cor_id[1::2] = ceil, floor
+
+    xyz, rgb, mask = layout_to_points(cor_id, img)
+    faces = grid_triangulate(mask)
+    wf_pts, wf_lines, _ = corner_wireframe(cor_id, H, W)
+    out = tmp_path / "v.html"
+    nv, nf = write_html_viewer(str(out), xyz.reshape(-1, 3),
+                               rgb.reshape(-1, 3), faces,
+                               wireframe=(wf_pts, wf_lines))
+
+    page = out.read_text()
+    # Self-contained: no external fetches of any kind
+    assert "http://" not in page and "https://" not in page
+    assert "src=" not in page.replace("shaderSource", "")
+    payload = json.loads(re.search(
+        r'<script id="meshdata" type="application/json">(.*?)</script>',
+        page, re.S).group(1))
+
+    pos = np.frombuffer(base64.b64decode(payload["pos"]), np.float32)
+    col = np.frombuffer(base64.b64decode(payload["col"]), np.uint8)
+    idx = np.frombuffer(base64.b64decode(payload["idx"]), np.uint32)
+    assert payload["n_vertices"] == nv and payload["n_faces"] == nf
+    assert pos.size == nv * 3 and col.size == nv * 3 and idx.size == nf * 3
+    # Compaction: every embedded vertex is referenced, indices in range
+    assert idx.max() == nv - 1 and np.unique(idx).size == nv
+    # Geometry survives: the used vertices of the original mesh, exactly
+    used = np.unique(np.asarray(faces))
+    assert np.allclose(pos.reshape(-1, 3),
+                       xyz.reshape(-1, 3)[used].astype(np.float32))
+    # Wireframe rides along
+    wpos = np.frombuffer(base64.b64decode(payload["wpos"]), np.float32)
+    assert wpos.size == wf_pts.size
+    # Camera framing fields are sane
+    assert payload["radius"] > 0 and len(payload["center"]) == 3
+
+
+def test_layout_viewer_cli_html(tmp_path):
+    """--html end-to-end through the CLI on the golden room fixture."""
+    import os
+
+    import pytest
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "golden")
+    img = os.path.join(fix, "val_room.png")
+    cor = os.path.join(fix, "val_room_cor.txt")
+    if not os.path.isfile(img):
+        pytest.skip("golden fixtures not built")
+    from horizonnet_tpu.cli.layout_viewer import main
+
+    out = tmp_path / "room.html"
+    assert main(["--img", img, "--layout", cor, "--html", str(out)]) == 0
+    assert out.stat().st_size > 100_000
+    assert "<canvas" in out.read_text()[:2000]
