@@ -12,14 +12,50 @@ import jax.numpy as jnp
 from jax import lax
 import flax.linen as nn
 
-from ..ops.pad import wrap_pad_width
+from ..ops.pad import seam_layout, wrap_pad_width
 from ..ops.lstm import matmul_precision
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder keeping nn.Conv's tree layout (conv/kernel[,bias]).
+
+    WrapConv applies the same kernel twice (main conv + seam strip), so
+    the kernel is declared once here instead of inside two nn.Conv
+    instances. Named "conv" by the caller, the checkpoint tree is
+    byte-identical to the previous nn.Conv-based WrapConv — and init
+    values too (same lecun_normal, same param path -> same fold of the
+    init RNG).
+    """
+
+    shape: Tuple[int, int, int, int]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.shape[-1],)) if self.use_bias else None)
+        return kernel, bias
 
 
 class WrapConv(nn.Module):
     """Conv2d with zero padding on H and circular (wrap) padding on W.
 
     NHWC. kernel: (kh, kw); strides (sh, sw); optional groups.
+
+    Seam handling: the default materializes the circular pad
+    (ops.pad.wrap_pad_width) before the conv, like the reference's
+    LR_PAD (model.py:27-55). ``seam_fix=True`` instead runs the conv
+    with zero width padding baked into the conv op and recomputes only
+    the seam-crossing output columns (1-2 per edge) from a
+    ~(kw+sw)-column wrapped strip, written back in place — identical
+    math (bit-exact, tests/test_model.py), designed to remove a
+    presumed full-tensor pad copy. MEASURED NEGATIVE on v5e serving
+    (round 4): 554.8 vs 616.4 panos/s device pipeline — XLA already
+    fuses the pad concat into the conv input on TPU, so the strip
+    convs + in-place updates only add overhead. Kept as an option for
+    backends where pad concats do materialize.
     """
 
     features: int
@@ -29,24 +65,49 @@ class WrapConv(nn.Module):
     use_bias: bool = False
     groups: int = 1
     dtype: jnp.dtype = jnp.float32
+    seam_fix: bool = False
 
     @nn.compact
     def __call__(self, x):
+        kh, kw = self.kernel_size
+        sh, sw = self.strides
         ph, pw = self.padding
-        if pw > 0:
-            x = wrap_pad_width(x, pw, axis=2)  # NHWC width axis
-        conv = nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding=((ph, ph), (0, 0)),
-            use_bias=self.use_bias,
-            feature_group_count=self.groups,
-            dtype=self.dtype,
-            precision=matmul_precision(self.dtype),
-            name="conv",
-        )
-        return conv(x)
+        W = x.shape[2]
+        kernel, bias = _ConvParams(
+            (kh, kw, x.shape[-1] // self.groups, self.features),
+            self.use_bias, name="conv")()
+
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        prec = matmul_precision(self.dtype)
+
+        def conv(inp, wpad):
+            return lax.conv_general_dilated(
+                inp, kd, (sh, sw), ((ph, ph), wpad),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups, precision=prec)
+
+        layout = (seam_layout(W, kw, sw, pw)
+                  if (pw > 0 and self.seam_fix) else None)
+        if pw == 0:
+            y = conv(xd, (0, 0))
+        elif layout is None:
+            y = conv(wrap_pad_width(xd, pw, axis=2), (0, 0))
+        else:
+            n_left, n_right, a, b = layout
+            y = conv(xd, (pw, pw))
+            strip = jnp.concatenate(
+                [lax.slice_in_dim(xd, W - a, W, axis=2),
+                 lax.slice_in_dim(xd, 0, b, axis=2)], axis=2)
+            ys = conv(strip, (0, 0))
+            y = lax.dynamic_update_slice_in_dim(
+                y, ys[:, :, n_right:], 0, axis=2)
+            if n_right:
+                y = lax.dynamic_update_slice_in_dim(
+                    y, ys[:, :, :n_right], y.shape[2] - n_right, axis=2)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class QuantConvBN(nn.Module):

@@ -157,3 +157,38 @@ def test_s2d_stem_gradients_match():
     for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_s2d)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-6)
+
+
+def test_wrap_conv_seam_fix_bit_exact():
+    """WrapConv(seam_fix=True) — zero-padded conv + seam-column strip
+    recompute — must match the materialized wrap-pad default exactly,
+    across kernel/stride/groups/bias variants (incl. the stem's 7x7/s2
+    and the odd-width fallback). Measured slower on v5e (kept for
+    backends where pad concats materialize; see ops/pad.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from horizonnet_tpu.models.layers import WrapConv
+    from horizonnet_tpu.ops.pad import seam_layout
+
+    rng = np.random.default_rng(0)
+    cases = [(3, 1, 1, 32, 1, False), (7, 2, 3, 64, 1, False),
+             (3, 2, 1, 32, 1, False), (5, 1, 2, 40, 1, True),
+             (3, 1, 1, 32, 4, False), (3, 1, 1, 30, 2, False)]
+    for kw, sw, pw, W, groups, bias in cases:
+        x = jnp.asarray(rng.normal(0, 1, (2, 8, W, 8)), jnp.float32)
+        kw_h = min(kw, 5)
+        ref = WrapConv(16, (kw_h, kw), (1, sw), (0, pw), use_bias=bias,
+                       groups=groups)
+        fix = WrapConv(16, (kw_h, kw), (1, sw), (0, pw), use_bias=bias,
+                       groups=groups, seam_fix=True)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        y0 = ref.apply(v, x)
+        y1 = fix.apply(v, x)   # same param tree by construction
+        assert y0.shape == y1.shape
+        assert float(jnp.abs(y1 - y0).max()) == 0.0, (kw, sw, pw, W)
+
+    # stride-2 3x3: no seam-crossing right column (n_right == 0 branch)
+    assert seam_layout(32, 3, 2, 1) == (1, 0, 1, 2)
+    # even kernel / asymmetric pad: no fast path
+    assert seam_layout(32, 4, 1, 1) is None
