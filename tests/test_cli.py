@@ -65,6 +65,7 @@ def test_layout_viewer_cli(tmp_path):
     assert os.path.getsize(out_path) > 1000
 
 
+@pytest.mark.heavy
 def test_inference_cli_tiny(tmp_path):
     """Full CLI: save a checkpoint, run inference on a tiny pano dir."""
     from PIL import Image
@@ -115,6 +116,7 @@ def test_layout_viewer_cli_headless_preview(tmp_path):
         assert (tile.sum(-1) > 0).mean() > 0.3, k
 
 
+@pytest.mark.heavy
 def test_inference_cli_device_postproc(tmp_path):
     """--device_postproc writes the same JSON schema via the fused
     device path (cuboid + general modes, incl. tail-chunk padding)."""

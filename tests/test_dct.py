@@ -10,6 +10,7 @@ forward).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -80,6 +81,7 @@ def test_dc_saturation_guard():
     assert abs(rec[0, -8:].mean() - 0.0) < 6.0
 
 
+@pytest.mark.heavy
 def test_engine_dct_matches_float_path():
     from horizonnet_tpu.models import build_model
     from horizonnet_tpu.models.registry import init_model

@@ -35,6 +35,7 @@ def test_make_mesh_arg_handling():
         make_mesh(n_data=8, n_model=2)  # 16 > 8 devices
 
 
+@pytest.mark.heavy
 def test_entry_forward_compiles():
     import jax
 
@@ -54,6 +55,7 @@ def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.heavy
 def test_dryrun_impl_pure_dp_tiny():
     """Fast in-suite smoke of the SPMD step on a (2, 1) mesh.
 

@@ -29,6 +29,7 @@ def test_maxpool_matches_torch():
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_horizonnet_forward_shapes_small():
     """Shape-polymorphic forward on a tiny pano (fast CPU test)."""
     model = build_model("resnet18", use_rnn=True)
@@ -40,6 +41,7 @@ def test_horizonnet_forward_shapes_small():
     assert cor.shape == (2, 1, 256)
 
 
+@pytest.mark.heavy
 def test_horizonnet_nornn_forward():
     model = build_model("resnet18", use_rnn=False)
     key = jax.random.PRNGKey(1)
@@ -82,6 +84,7 @@ def test_wrap_conv_seam_equivariance():
                                np.array(bon2), atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_densenet121_forward():
     model = build_model("densenet121", use_rnn=False)
     variables = init_model(model, jax.random.PRNGKey(5), (1, 128, 256, 3))
@@ -90,6 +93,7 @@ def test_densenet121_forward():
     assert np.isfinite(np.array(bon)).all()
 
 
+@pytest.mark.heavy
 def test_resnext50_forward():
     model = build_model("resnext50_32x4d", use_rnn=False)
     variables = init_model(model, jax.random.PRNGKey(6), (1, 64, 128, 3))
@@ -98,6 +102,7 @@ def test_resnext50_forward():
     assert np.isfinite(np.array(bon)).all()
 
 
+@pytest.mark.heavy
 def test_train_mode_updates_bn_stats():
     model = build_model("resnet18", use_rnn=False)
     variables = init_model(model, jax.random.PRNGKey(7), (1, 64, 128, 3))
@@ -110,7 +115,10 @@ def test_train_mode_updates_bn_stats():
     assert not np.allclose(np.array(before), np.array(after))
 
 
-@pytest.mark.parametrize("backbone", ["resnet18", "densenet121"])
+@pytest.mark.parametrize("backbone", [
+    "resnet18",
+    pytest.param("densenet121", marks=pytest.mark.heavy),
+])
 def test_s2d_stem_matches_standard_stem(backbone):
     """The space-to-depth stem rewrite (models/resnet.py S2DStemConv) is
     the same math as WrapConv(7x7, s2, p3) on the same parameter tree:
@@ -133,6 +141,7 @@ def test_s2d_stem_matches_standard_stem(backbone):
                                atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_s2d_stem_gradients_match():
     """Identical math => identical gradients: the s2d stem is safe for
     training (cli.train --s2d_stem) with checkpoint interop both ways."""

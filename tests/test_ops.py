@@ -196,6 +196,7 @@ def test_pallas_train_lstm_forward_and_grads_match_scan():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_pallas_train_lstm_through_model():
     """HorizonNet(lstm_impl=pallas_train_interpret): the train step takes
     the fused differentiable path; eval degrades to the serving kernel;

@@ -84,6 +84,7 @@ def test_params_actually_sharded(tiny):
     assert len(idx) == 2
 
 
+@pytest.mark.heavy
 def test_tp_step_matches_dp(tiny):
     model, variables, batch = tiny
     _, m_dp = _run_step(model, variables, batch, n_data=8, n_model=1)
@@ -100,6 +101,7 @@ def test_tp_step_matches_dp(tiny):
                for _, v in flat)
 
 
+@pytest.mark.heavy
 def test_train_engine_tp_mesh(tiny):
     """TrainEngine on a (2 data, 2 model) mesh: AOT step runs, loss drops."""
     from horizonnet_tpu.train.engine import TrainEngine

@@ -6,6 +6,7 @@ path (inference.postprocess) is float64 numpy. On well-conditioned inputs
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from horizonnet_tpu.geometry import xy2coor, cor_2_1d
@@ -28,6 +29,7 @@ def _vote_device(vec, tol):
     return float(fit[0]), float(sc[0]), float(l1[0])
 
 
+@pytest.mark.heavy
 def test_vote_sorted_matches_host():
     rng = np.random.default_rng(0)
     for trial in range(30):

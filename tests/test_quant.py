@@ -52,6 +52,7 @@ def test_quant_conv_bn_matches_float_pair():
     assert rel < 0.03, rel
 
 
+@pytest.mark.heavy
 def test_quantized_tree_matches_model_expectation():
     """quantize_variables output must be exactly the tree a
     quant_int8=True model initializes (same paths, shapes, dtypes) —
@@ -79,6 +80,7 @@ def test_quantized_tree_matches_model_expectation():
 
 @pytest.mark.skipif(not os.path.isfile(CKPT),
                     reason="golden fixtures not built")
+@pytest.mark.heavy
 def test_quant_golden_corners_close_to_float():
     """End-to-end: int8 serving corners on the trained golden stay
     within a few pixels of the float pipeline (the budget dct ingest

@@ -86,6 +86,7 @@ def _make_reference_style_state_dict(backbone="resnet50"):
     return sd
 
 
+@pytest.mark.heavy
 def test_full_resnet50_state_dict_converts_and_applies():
     np.random.seed(0)
     sd = _make_reference_style_state_dict()
@@ -114,6 +115,7 @@ def test_full_resnet50_state_dict_converts_and_applies():
     assert np.isfinite(np.asarray(bon)).all()
 
 
+@pytest.mark.heavy
 def test_converter_rejects_missing_keys():
     sd = _make_reference_style_state_dict()
     del sd["linear.weight"]

@@ -66,6 +66,7 @@ def test_loss_terms_match_torch():
     assert float(cor) == pytest.approx(ref_cor, rel=1e-5)
 
 
+@pytest.mark.heavy
 def test_train_step_over_mesh(tiny_setup):
     model, variables, state = tiny_setup
     mesh = make_mesh()  # all 8 virtual devices
@@ -91,6 +92,7 @@ def test_train_step_over_mesh(tiny_setup):
     assert not np.allclose(p0, np.asarray(p1))
 
 
+@pytest.mark.heavy
 def test_train_engine_loss_decreases(tiny_setup):
     model, variables, state = tiny_setup
     mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
@@ -122,6 +124,7 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     assert out[0].shape == (1, 2, 128)
 
 
+@pytest.mark.heavy
 def test_train_checkpoint_resume(tiny_setup, tmp_path):
     model, variables, state = tiny_setup
     # advance one step so opt_state is non-trivial
