@@ -17,14 +17,19 @@ committed demo pano (tests/test_dct.py + the drive check in
 .claude/skills/verify). "yuv420" and "uint8" remain available.
 
 Reported figures (one JSON line):
-- value: serving panos/sec, best of BENCH_REPS timed loops (the sandbox
-  host<->device tunnel is bimodal — see README; the spread is disclosed
-  via "reps_panos_per_sec"/"median_panos_per_sec").
+- value: serving panos/sec, MEDIAN of BENCH_REPS timed loops (the
+  sandbox host<->device tunnel is bimodal — see README; the spread is
+  disclosed via "reps_panos_per_sec", and the best rep via
+  "best_panos_per_sec").
 - device_panos_per_sec: the compute-bound figure — same compiled
   program clocked on a device-resident batch (no ingest).
 - e2e_panos_per_sec: the BASELINE.json "preprocess+infer+post-proc"
   metric — raw pano -> VP alignment (preprocess/) -> aligned ingest ->
-  forward -> corners, single stream on the committed demo pano.
+  forward -> corners, with host preprocess fanned across a thread pool
+  (BENCH_E2E_WORKERS) and overlapped with device serving via
+  serve_stream; "preprocess_s_per_pano" is the warm single-stream
+  preprocess time. Divisor: the measured reference pipeline on this
+  host (REF_E2E.json, tools/ref_e2e.py) -> "e2e_vs_baseline".
 
 Baseline (vs_baseline divisor): the reference publishes NO throughput
 numbers (SURVEY.md §6). 20 panos/sec is a derived estimate of its
@@ -257,7 +262,9 @@ def main():
         B_e2e = int(os.environ.get("BENCH_E2E_B", 8))
         n_e2e = int(os.environ.get(
             "BENCH_E2E_N", max(2 * B_e2e, 2 * B_e2e * e2e_workers)))
-        n_e2e -= n_e2e % B_e2e
+        # Round down to a whole number of batches, but never below one
+        # batch (BENCH_E2E_N < BENCH_E2E_B would otherwise yield 0).
+        n_e2e = max(B_e2e, (n_e2e // B_e2e) * B_e2e)
         raws = [np.roll(raw, int(r), axis=1)
                 for r in rng.integers(0, W, n_e2e)]
 
@@ -272,9 +279,13 @@ def main():
                                       postproc=postproc, dct_luma_m=dct_ym,
                                       dct_chroma_m=dct_cm,
                                       dct_quality=dct_q))
-        # Warmup one pano through both stages (compiles the engine)
+        # Warm up one pano through both stages UNTIMED — the cold call
+        # pays one-time costs (native .so builds on a fresh clone,
+        # gather-table/direction-grid precompute) — then clock a warm
+        # pano for the steady-state single-stream figure.
+        preprocess_one(raws[0])
         t0 = time.time()
-        warm = preprocess_one(raws[0])
+        warm = preprocess_one(raws[1 % len(raws)])
         preprocess_s = time.time() - t0   # single-stream s/pano figure
         res0 = []
         finish(e2e_engine(_pack([np.broadcast_to(warm, (B_e2e, H, W, 3))],

@@ -79,6 +79,8 @@ def main(argv=None):
                 print("open3d not available; writing interactive HTML "
                       f"viewer to {html_out} instead (see also --html / "
                       "--vis_out)", file=sys.stderr)
+            if vis_out is None:
+                vis_out = args.img + ".preview.png"
     if html_out:
         from ..viewer.html import write_html_viewer
         from ..viewer.mesh import grid_triangulate, layout_to_points

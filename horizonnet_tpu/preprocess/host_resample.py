@@ -16,7 +16,7 @@ Semantics match the device paths bit-for-bit up to f32 rounding:
 - rotation: rotate._rotate_f32 (reference rotatePanorama,
   misc/pano_lsd_align.py:125-171, without its bottom-row typo).
 
-tests/test_preprocess.py pins host==device on both warps.
+tests/test_host_resample.py pins host==device on both warps.
 """
 
 import ctypes

@@ -210,7 +210,16 @@ def write_html_viewer(path, xyz, rgb, faces, wireframe=None):
     c = rgb[used]
     f = remap[faces].astype(np.uint32)
 
-    lo, hi = v.min(0), v.max(0)
+    if len(v):
+        lo, hi = v.min(0), v.max(0)
+    elif wireframe is not None and len(wireframe[0]):
+        # Wireframe-only viewer (e.g. --ignore_floor/_ceiling/_wall):
+        # frame the camera on the corner wireframe instead of crashing
+        # on a zero-size reduction.
+        wpts = np.asarray(wireframe[0], np.float32)
+        lo, hi = wpts.min(0), wpts.max(0)
+    else:
+        lo = hi = np.zeros(3, np.float32)
     center = ((lo + hi) / 2).tolist()
     radius = float(np.linalg.norm(hi - lo) / 2) or 1.0
 

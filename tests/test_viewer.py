@@ -170,3 +170,36 @@ def test_layout_viewer_cli_html(tmp_path):
     assert main(["--img", img, "--layout", cor, "--html", str(out)]) == 0
     assert out.stat().st_size > 100_000
     assert "<canvas" in out.read_text()[:2000]
+
+
+def test_html_viewer_wireframe_only(tmp_path):
+    """All-surfaces-ignored layouts (--ignore_floor/_ceiling/_wall) yield
+    zero faces; the HTML viewer must still write a wireframe-only page,
+    framing the camera on the corner wireframe instead of crashing on a
+    zero-size reduction (write_ply already handled this combo)."""
+    import numpy as np
+    from horizonnet_tpu.viewer.html import write_html_viewer
+    from horizonnet_tpu.viewer.mesh import corner_wireframe
+    from horizonnet_tpu.geometry import xy2coor
+
+    H, W = 64, 128
+    pts = np.array([[-3.0, -2.0], [3.0, -2.0], [3.0, 2.0], [-3.0, 2.0]])
+    floor = xy2coor(pts, -1.6, W, H, floorW=1, floorH=1)
+    ceil = xy2coor(pts, 1.2, W, H, floorW=1, floorH=1)
+    cor_id = np.zeros((8, 2))
+    cor_id[0::2], cor_id[1::2] = ceil, floor
+    wf_pts, wf_lines, _ = corner_wireframe(cor_id, H, W)
+
+    out = tmp_path / "wf.html"
+    nv, nf = write_html_viewer(
+        str(out), np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8),
+        np.zeros((0, 3), np.int64), wireframe=(wf_pts, wf_lines))
+    assert nv == 0 and nf == 0
+    page = out.read_text()
+    assert "<canvas" in page
+    import json as _json
+    import re
+    payload = _json.loads(re.search(
+        r'<script id="meshdata" type="application/json">(.*?)</script>',
+        page, re.S).group(1))
+    assert payload["radius"] > 0 and "wpos" in payload

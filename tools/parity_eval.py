@@ -156,6 +156,9 @@ def main(argv=None):
                         metavar="METRIC=TOL",
                         help="override tolerances, e.g. 3DIoU=0.5")
     args = parser.parse_args(argv)
+    if args.root_dir is None and not (args.img_glob and args.gt_glob):
+        parser.error("--root_dir is required unless BOTH --img_glob and "
+                     "--gt_glob are given")
 
     preset = PRESETS[args.dataset]
     args.mode = args.mode or preset["mode"]

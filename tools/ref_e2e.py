@@ -3,10 +3,18 @@
 Produces REF_E2E.json — the measured divisor for bench.py's
 ``e2e_vs_baseline`` (raw pano -> VP alignment -> forward -> Manhattan
 post-processing -> corners). The reference is run exactly as its CLIs
-do: preprocess.py:56-66 (panoEdgeDetection + two rotatePanorama warps)
-and inference.py:65-141 (``inference(net, x, device, force_cuboid=True)``),
-strictly serially per pano, which is how the reference processes
-datasets (preprocess.py:52, inference.py:192).
+do for this task: preprocess.py:56-66 under ``--rgbonly``
+(panoEdgeDetection + the RGB rotatePanorama warp; the aligned line map
+is LayoutNet input, not HorizonNet's — preprocess.py:70-72 is the
+reference's own flag for skipping it, matching bench.py's
+want_pano_edge=False path like-for-like) and inference.py:65-141
+(``inference(net, x, device, force_cuboid=True)``), strictly serially
+per pano, which is how the reference processes datasets
+(preprocess.py:52, inference.py:192). Note panoEdgeDetection still
+paints its internal pano edge map (pano_lsd_align.py:856-859) — the
+reference pays that even under --rgbonly because it is unconditional
+inside the function; our pipeline makes it optional, which is a
+disclosed pipeline improvement, not skipped contract work.
 
 The environment lacks four of the reference's binary deps; each gets a
 minimal shim chosen to be timing-neutral or GENEROUS to the reference:
@@ -153,19 +161,20 @@ def main():
     img_ori = np.array(Image.open(DEMO_RAW)
                        .resize((1024, 512), Image.BICUBIC))[..., :3]
 
-    # ---- reference preprocess (preprocess.py:56-66) ---------------------
+    # ---- reference preprocess (preprocess.py:56-66, --rgbonly path) -----
+    # --rgbonly (preprocess.py:70-72) skips the l_img edge-map rotation;
+    # that is the reference's own raw-pano->corners configuration and the
+    # like-for-like twin of bench.py's want_pano_edge=False numerator.
     def ref_preprocess(img):
-        _, vp, _, _, panoEdge, _, _ = panoEdgeDetection(img, qError=0.7,
-                                                        refineIter=3)
-        panoEdge = panoEdge > 0
+        _, vp, _, _, _, _, _ = panoEdgeDetection(img, qError=0.7,
+                                                 refineIter=3)
         i_img = rotatePanorama(img / 255.0, vp[2::-1])
-        l_img = rotatePanorama(panoEdge.astype(np.float32), vp[2::-1])
-        return i_img, l_img
+        return i_img
 
-    i_img, _ = ref_preprocess(img_ori)          # warmup
+    i_img = ref_preprocess(img_ori)             # warmup
     t0 = time.time()
     for _ in range(args.n):
-        i_img, _ = ref_preprocess(img_ori)
+        i_img = ref_preprocess(img_ori)
     t_pre = (time.time() - t0) / args.n
     print(f"reference preprocess: {t_pre:.2f} s/pano", file=sys.stderr)
 
@@ -187,6 +196,10 @@ def main():
     e2e = 1.0 / (t_pre + t_inf)
     result = {
         "e2e_panos_per_sec": round(e2e, 4),
+        "divisor_policy": "max over recorded runs — this 1-core sandbox "
+                          "host varies ~30% run to run, so the divisor "
+                          "keeps the FASTEST reference figure observed "
+                          "(conservative against our e2e_vs_baseline)",
         "preprocess_s_per_pano": round(t_pre, 3),
         "infer_postproc_s_per_pano": round(t_inf, 3),
         "n_timed": args.n,
@@ -196,9 +209,35 @@ def main():
         "shims": ["pylsd->in-house C++ LSD (speed-neutral/generous)",
                   "cv2->numpy gray+line", "torchvision->torch_replica",
                   "shapely,sklearn->unused stubs"],
-        "pipeline": "preprocess.py:56-66 + inference.py force_cuboid, "
-                    "strictly serial per pano as the reference CLIs run",
+        "pipeline": "preprocess.py:56-66 --rgbonly (RGB warp only, like-"
+                    "for-like with bench's want_pano_edge=False) + "
+                    "inference.py force_cuboid, strictly serial per pano "
+                    "as the reference CLIs run",
     }
+    # Divisor = max over runs: the sandbox core's speed swings ~30%
+    # between runs, and crediting the reference its best observed time
+    # keeps e2e_vs_baseline conservative. Prior runs (including the
+    # pre-rgbonly pipeline, which did MORE work per pano) are kept in
+    # "runs" history.
+    if os.path.isfile(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        runs = prev.get("runs", [])
+        if not runs and "e2e_panos_per_sec" in prev:
+            runs.append({k: prev[k] for k in
+                         ("e2e_panos_per_sec", "preprocess_s_per_pano",
+                          "infer_postproc_s_per_pano", "n_timed",
+                          "pipeline") if k in prev})
+    else:
+        runs = []
+    runs.append({k: result[k] for k in
+                 ("e2e_panos_per_sec", "preprocess_s_per_pano",
+                  "infer_postproc_s_per_pano", "n_timed", "pipeline")})
+    best = max(runs, key=lambda r: r["e2e_panos_per_sec"])
+    result["runs"] = runs
+    for k in ("e2e_panos_per_sec", "preprocess_s_per_pano",
+              "infer_postproc_s_per_pano", "n_timed", "pipeline"):
+        result[k] = best[k]
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

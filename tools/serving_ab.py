@@ -92,7 +92,10 @@ def main(B=32, n=48):
     out = {"batch": B, "n_per_rep": n, "fmt": "dct",
            "postproc": "cuboid", "lstm": "pallas"}
     for name, r in results.items():
-        dpx = float(np.abs(r["corners"] - base).max() * 512)
+        # corners are normalized uv; u spans W=1024 px, v spans H=512
+        # (dt_cor_id = uv * [w, h], tools/parity_eval.py)
+        dpx = float((np.abs(r["corners"] - base)
+                     * np.array([1024.0, 512.0])).max())
         out[name] = {"device_panos_per_sec": r["device_panos_per_sec"],
                      "reps": r["reps"],
                      "vs_std": round(r["device_panos_per_sec"]
