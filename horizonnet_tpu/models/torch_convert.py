@@ -35,7 +35,17 @@ def load_torch_checkpoint(path):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if "state_dict" in ckpt:
         sd = ckpt["state_dict"]
-        kwargs = ckpt.get("kwargs", {})
+        kwargs = dict(ckpt.get("kwargs", {}))
+        # The reference's training checkpoint (checkpoint.pth.tar,
+        # train.py:33-37) has no kwargs dict but stores the backbone name
+        # at the top level — honor it so --pth checkpoint.pth.tar works.
+        if "backbone" not in kwargs and "backbone" in ckpt:
+            kwargs["backbone"] = ckpt["backbone"]
+        # DataParallel checkpoints carry a 'module.' prefix when saved
+        # without .module unwrapping; strip it (train.py:337-344 unwraps,
+        # but finetune flows in the wild often don't).
+        if sd and all(k.startswith("module.") for k in sd):
+            sd = {k[len("module."):]: v for k, v in sd.items()}
     else:
         sd, kwargs = ckpt, {}
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)

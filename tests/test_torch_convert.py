@@ -114,3 +114,40 @@ def test_convcompress_matches_torch_sequential():
         jnp.asarray(x), False)
     np.testing.assert_allclose(np.array(got).transpose(0, 3, 1, 2), ref,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_load_checkpoint_formats(tmp_path):
+    """load_torch_checkpoint must handle all three wild formats: (a) the
+    self-describing {args,kwargs,state_dict} of misc/utils.py:49-58, (b)
+    the training checkpoint.pth.tar {epoch,state_dict,optimizer,backbone}
+    of train.py:33-37 (backbone at top level, no kwargs), and (c) a bare
+    state_dict — plus DataParallel 'module.'-prefixed keys."""
+    from horizonnet_tpu.models.torch_convert import load_torch_checkpoint
+
+    w = torch.ones(2, 3)
+    # (a) self-describing
+    p = tmp_path / "a.pth"
+    torch.save({"args": {}, "kwargs": {"backbone": "resnet18",
+                                       "use_rnn": True},
+                "state_dict": {"feature_extractor.conv1.weight": w}}, p)
+    sd, kw = load_torch_checkpoint(str(p))
+    assert kw["backbone"] == "resnet18"
+    assert "feature_extractor.conv1.weight" in sd
+
+    # (b) train-checkpoint format: top-level backbone honored
+    p = tmp_path / "b.pth.tar"
+    torch.save({"epoch": 7, "backbone": "resnet34",
+                "best_valid_score": 0.5, "optimizer": {},
+                "state_dict": {"module.feature_extractor.conv1.weight": w}},
+               p)
+    sd, kw = load_torch_checkpoint(str(p))
+    assert kw["backbone"] == "resnet34"
+    # DataParallel prefix stripped
+    assert "feature_extractor.conv1.weight" in sd
+
+    # (c) bare state_dict
+    p = tmp_path / "c.pth"
+    torch.save({"feature_extractor.conv1.weight": w}, p)
+    sd, kw = load_torch_checkpoint(str(p))
+    assert kw == {} and "feature_extractor.conv1.weight" in sd
+    assert isinstance(sd["feature_extractor.conv1.weight"], np.ndarray)
