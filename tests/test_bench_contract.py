@@ -84,3 +84,47 @@ def test_serve_stream_ordering_with_fake_engine():
         got = list(serve_stream(eng, iter(range(7)), depth=depth))
         assert got == [("out", k) for k in range(7)]
     assert list(serve_stream(eng, iter([]), depth=3)) == []
+
+
+def test_ref_e2e_divisor_merge_is_conservative():
+    """REF_E2E.json's divisor policy: the recorded e2e figure must be the
+    MAX over run history (fastest reference observed -> smallest credited
+    speedup for us), with every run preserved. Also: legacy files without
+    a runs list seed the history from their top-level figures."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_e2e", os.path.join(ROOT, "tools", "ref_e2e.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def run(e2e, pre=5.0, inf=2.0, n=2, pipe="p"):
+        return {"e2e_panos_per_sec": e2e, "preprocess_s_per_pano": pre,
+                "infer_postproc_s_per_pano": inf, "n_timed": n,
+                "pipeline": pipe, "host": "x"}
+
+    # Fresh file: the single run is the divisor
+    out = mod.merge_runs(None, run(0.10, pipe="a"))
+    assert out["e2e_panos_per_sec"] == 0.10 and len(out["runs"]) == 1
+
+    # Slower re-measurement must NOT lower the divisor
+    out2 = mod.merge_runs(out, run(0.08, pre=6.0, pipe="b"))
+    assert out2["e2e_panos_per_sec"] == 0.10
+    assert out2["pipeline"] == "a" and out2["preprocess_s_per_pano"] == 5.0
+    assert [r["e2e_panos_per_sec"] for r in out2["runs"]] == [0.10, 0.08]
+
+    # Faster re-measurement raises it
+    out3 = mod.merge_runs(out2, run(0.14, pipe="c"))
+    assert out3["e2e_panos_per_sec"] == 0.14 and len(out3["runs"]) == 3
+
+    # Legacy file (no runs list) seeds history from top-level figures
+    legacy = run(0.12, pipe="old")
+    out4 = mod.merge_runs(legacy, run(0.09, pipe="new"))
+    assert out4["e2e_panos_per_sec"] == 0.12 and len(out4["runs"]) == 2
+
+    # The committed artifact follows the policy
+    import json as _json
+    with open(os.path.join(ROOT, "REF_E2E.json")) as f:
+        rec = _json.load(f)
+    assert rec["e2e_panos_per_sec"] == max(
+        r["e2e_panos_per_sec"] for r in rec["runs"])

@@ -138,6 +138,34 @@ def install_shims():
     sys.modules["dataset"] = dataset_mod
 
 
+_RUN_KEYS = ("e2e_panos_per_sec", "preprocess_s_per_pano",
+             "infer_postproc_s_per_pano", "n_timed", "pipeline")
+
+
+def merge_runs(prev, result):
+    """Divisor = max over runs (conservative against our ratio).
+
+    The sandbox core's speed swings ~30% between runs, and crediting the
+    reference its best observed time keeps e2e_vs_baseline conservative.
+    Prior runs (including the pre-rgbonly pipeline, which did MORE work
+    per pano) are kept in the "runs" history; the top-level figures are
+    copied from the fastest run. ``prev`` is the previously written JSON
+    (or None); ``result`` is this run's fresh record.
+    """
+    runs = []
+    if prev is not None:
+        runs = list(prev.get("runs", []))
+        if not runs and "e2e_panos_per_sec" in prev:
+            runs.append({k: prev[k] for k in _RUN_KEYS if k in prev})
+    runs.append({k: result[k] for k in _RUN_KEYS})
+    best = max(runs, key=lambda r: r["e2e_panos_per_sec"])
+    result = dict(result)
+    result["runs"] = runs
+    for k in _RUN_KEYS:
+        result[k] = best[k]
+    return result
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=3,
@@ -214,30 +242,8 @@ def main():
                     "inference.py force_cuboid, strictly serial per pano "
                     "as the reference CLIs run",
     }
-    # Divisor = max over runs: the sandbox core's speed swings ~30%
-    # between runs, and crediting the reference its best observed time
-    # keeps e2e_vs_baseline conservative. Prior runs (including the
-    # pre-rgbonly pipeline, which did MORE work per pano) are kept in
-    # "runs" history.
-    if os.path.isfile(args.out):
-        with open(args.out) as f:
-            prev = json.load(f)
-        runs = prev.get("runs", [])
-        if not runs and "e2e_panos_per_sec" in prev:
-            runs.append({k: prev[k] for k in
-                         ("e2e_panos_per_sec", "preprocess_s_per_pano",
-                          "infer_postproc_s_per_pano", "n_timed",
-                          "pipeline") if k in prev})
-    else:
-        runs = []
-    runs.append({k: result[k] for k in
-                 ("e2e_panos_per_sec", "preprocess_s_per_pano",
-                  "infer_postproc_s_per_pano", "n_timed", "pipeline")})
-    best = max(runs, key=lambda r: r["e2e_panos_per_sec"])
-    result["runs"] = runs
-    for k in ("e2e_panos_per_sec", "preprocess_s_per_pano",
-              "infer_postproc_s_per_pano", "n_timed", "pipeline"):
-        result[k] = best[k]
+    result = merge_runs(json.load(open(args.out)) if
+                        os.path.isfile(args.out) else None, result)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
