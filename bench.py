@@ -89,6 +89,10 @@ def _pack(batches, fmt, dct_ym, dct_cm, dct_q):
         from horizonnet_tpu.ops.dct import pack_dct
         return [pack_dct(b, luma_m=dct_ym, chroma_m=dct_cm, quality=dct_q)
                 for b in batches]
+    if fmt == "dct4":
+        from horizonnet_tpu.ops.dct import pack_dct4
+        return [pack_dct4(b, luma_m=dct_ym, chroma_m=dct_cm, quality=dct_q)
+                for b in batches]
     if fmt == "uint8":
         return batches
     return [b.astype(np.float32) / 255.0 for b in batches]

@@ -101,8 +101,8 @@ class InferenceEngine:
         self.postproc = postproc
         if input_format is None:
             input_format = "uint8" if input_uint8 else "float"
-        assert input_format in ("float", "uint8", "yuv420", "dct"), \
-            input_format
+        assert input_format in ("float", "uint8", "yuv420", "dct",
+                                "dct4"), input_format
         self.input_format = input_format
         self.input_uint8 = input_format == "uint8"
         from .ops import dct as _dct
@@ -125,13 +125,20 @@ class InferenceEngine:
             # half the bytes of RGB uint8; RGB is rebuilt on device
             in_dtype = jnp.uint8
             in_shape = (batch_size, 6, H // 2, W // 2)
-        else:
+        elif input_format == "dct":
             # Quantized zig-zag DCT coefficients (the JPEG-like compressed
             # wire format, ops/dct.py): (15, 6) is 5.3x fewer bytes than
             # yuv420; dequant + IDCT + color run inside the program
             in_dtype = jnp.int8
             in_shape = _dct.dct_wire_shape(batch_size, H, W,
                                            dct_luma_m, dct_chroma_m)
+        else:
+            # dct4: block-floating-point nibble wire — int8 DC + per-tile
+            # 4-bit shift + int4 AC mantissas (ops/dct.py); (15, 6) lands
+            # at 88 KiB/pano vs dct's 144 on the same budget
+            in_dtype = jnp.int8
+            in_shape = _dct.dct4_wire_shape(batch_size, H, W,
+                                            dct_luma_m, dct_chroma_m)
 
         def fn(variables, x):
             if input_format == "uint8":
@@ -143,6 +150,10 @@ class InferenceEngine:
                 from .ops.dct import unpack_dct_to_rgb
                 x = unpack_dct_to_rgb(x, H, W, dct_luma_m, dct_chroma_m,
                                       dct_quality)
+            elif input_format == "dct4":
+                from .ops.dct import unpack_dct4_to_rgb
+                x = unpack_dct4_to_rgb(x, H, W, dct_luma_m, dct_chroma_m,
+                                       dct_quality)
             bon, cor = base(variables, x)
             if postproc == "cuboid":
                 # Full Manhattan cuboid fit fused into the same XLA program:

@@ -122,3 +122,93 @@ def test_budget_monotonicity():
 
     p = [psnr(6, 3), psnr(10, 4), psnr(15, 6), psnr(21, 10)]
     assert p == sorted(p), p
+
+
+# ---------------------------------------------------------------------------
+# dct4: block-floating-point nibble wire
+
+
+def test_dct4_wire_shape_and_bytes():
+    from horizonnet_tpu.ops.dct import dct4_wire_shape
+
+    B, H, W = 2, 512, 1024
+    shape = dct4_wire_shape(B, H, W)
+    n_y, n_c = 8192, 2048
+    # per tile: 1 DC byte + ceil(m/2) nibble-pair bytes
+    assert shape == (2, n_y * 9 + 2 * n_c * 4)
+    assert shape[1] == 90112                       # 88 KiB
+    assert dct_wire_shape(B, H, W)[1] / shape[1] > 1.6
+
+
+def test_dct4_smooth_tiles_match_dct_exactly():
+    """Tiles whose AC coefficients fit int4 (shift 0) must decode
+    BIT-IDENTICALLY to the int8 dct path — the BFP exponent only spends
+    precision where int8 dct would have had headroom to spare."""
+    from horizonnet_tpu.ops.dct import pack_dct4, unpack_dct4_to_rgb
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(90, 160, (1, 8, 16, 3))
+    img = np.clip(np.kron(base, np.ones((1, 16, 16, 1))), 0,
+                  255).astype(np.uint8)[:, :128, :256]
+    a = np.asarray(unpack_dct_to_rgb(jnp.asarray(pack_dct(img)), 128, 256))
+    b = np.asarray(unpack_dct4_to_rgb(jnp.asarray(pack_dct4(img)),
+                                      128, 256))
+    assert np.array_equal(a, b)
+
+
+def test_dct4_roundtrip_quality_on_demo_pano():
+    """Real content: dct4 must stay within ~1.5 dB of the int8 dct path
+    at the same (15, 6) budget while spending 1.6x fewer bytes."""
+    from PIL import Image
+
+    from horizonnet_tpu.ops.dct import pack_dct4, unpack_dct4_to_rgb
+
+    img = np.asarray(Image.open(
+        "/root/reference/assets/preprocessed/demo_aligned_rgb.png"))
+    img = img[None, ..., :3]
+
+    def psnr(rec):
+        err = rec - img.astype(np.float64)
+        return 10 * np.log10(255.0 ** 2 / np.mean(err ** 2))
+
+    p8 = psnr(np.asarray(unpack_dct_to_rgb(
+        jnp.asarray(pack_dct(img)), 512, 1024)) * 255.0)
+    p4 = psnr(np.asarray(unpack_dct4_to_rgb(
+        jnp.asarray(pack_dct4(img)), 512, 1024)) * 255.0)
+    assert p4 > 30.0, p4
+    assert p8 - p4 < 1.5, (p8, p4)
+
+
+def test_dct4_edge_tile_range():
+    """A solid black/white step exercises the largest AC coefficients;
+    the per-tile exponent must carry them without int4 clamping damage."""
+    from horizonnet_tpu.ops.dct import pack_dct4, unpack_dct4_to_rgb
+
+    img = np.zeros((1, 32, 32, 3), np.uint8)
+    img[:, :, 16:] = 255
+    rec = np.asarray(unpack_dct4_to_rgb(jnp.asarray(pack_dct4(img)),
+                                        32, 32)) * 255.0
+    assert abs(rec[0, :, :8].mean() - 0.0) < 16.0
+    assert abs(rec[0, :, -8:].mean() - 255.0) < 16.0
+
+
+@pytest.mark.heavy
+def test_engine_dct4_matches_float_path():
+    from horizonnet_tpu.models import build_model
+    from horizonnet_tpu.models.registry import init_model
+    from horizonnet_tpu.inference import InferenceEngine
+    from horizonnet_tpu.ops.dct import pack_dct4
+
+    model = build_model("resnet18", use_rnn=True)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, 64, 128, 3))
+    variables = jax.tree.map(np.asarray, variables)
+    rng = np.random.default_rng(1)
+    img = _smooth_image(rng, B=2)
+
+    engf = InferenceEngine(model, variables, batch_size=2, H=64, W=128)
+    engd = InferenceEngine(model, variables, batch_size=2, H=64, W=128,
+                           input_format="dct4")
+    bon_f, cor_f = engf(img.astype(np.float32) / 255.0)
+    bon_d, cor_d = engd(pack_dct4(img))
+    assert np.abs(np.asarray(bon_d) - np.asarray(bon_f)).max() < 0.05
+    assert np.abs(np.asarray(cor_d) - np.asarray(cor_f)).max() < 0.05
