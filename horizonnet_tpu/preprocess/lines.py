@@ -222,7 +222,7 @@ def assign_vanishing_type(lines, vp, tol, area=10):
 
 def _sample_line_arcs(lines, num_sample):
     """Sample num_sample points along every line's arc. -> xyz [N,S,3]."""
-    from .sphere import computeUVN_batch, uv2xyzN_batch
+    from .sphere import great_circle_xyz_batch
 
     sid = lines[:, 4] * 2 * np.pi
     eid = lines[:, 5] * 2 * np.pi
@@ -232,8 +232,7 @@ def _sample_line_arcs(lines, num_sample):
     x = sid[:, None] + (end - sid)[:, None] * t[None, :]
     x = np.where(wrap[:, None], np.mod(x, 2 * np.pi), x)
     u = -np.pi + x
-    v = computeUVN_batch(lines[:, :3], u, lines[:, 3])
-    return uv2xyzN_batch(u, v, lines[:, 3])
+    return great_circle_xyz_batch(lines[:, :3], u, lines[:, 3])
 
 
 def refit_line_segments(lines, vp, vpweight=0.1):
@@ -292,10 +291,14 @@ def paint_parameter_lines(lines, width, height):
         n[m2] = np.roll(n[m2], 2, axis=1)
     if m3.any():
         n[m3] = np.roll(n[m3], 1, axis=1)
-    bc = n[:, [0]] * np.sin(u) + n[:, [1]] * np.cos(u)
-    v = np.arctan(-bc / (n[:, [2]] + np.float32(1e-9)))
+    su, cu = np.sin(u), np.cos(u)
+    bc = n[:, [0]] * su + n[:, [1]] * cu
+    # v = arctan(w): cos v = 1/sqrt(1+w^2) > 0, sin v = w*cos v — same
+    # fusion as sphere.great_circle_xyz_batch, in f32
+    w = -bc / (n[:, [2]] + np.float32(1e-9))
+    cv = np.float32(1.0) / np.sqrt(np.float32(1.0) + w * w)
+    sv = w * cv
     # uv -> xyz in each row's plane convention, then to planeID=1 uv
-    cu, cv, su, sv = np.cos(u), np.cos(v), np.sin(u), np.sin(v)
     comp = np.stack([cv * su, cv * cu, sv], axis=-1)     # [N,S,3] local
     xyz = np.empty_like(comp)
     ids = (np.arange(3)[None, :] + (pid - 1)[:, None]) % 3

@@ -116,6 +116,38 @@ def computeUVN_batch(n, u, planeID):
     return np.arctan(-bc / (n[:, [2]] + 1e-9))
 
 
+def great_circle_xyz_batch(n, u, planeID):
+    """xyz on the great circle with normal n at azimuths u, fused.
+
+    Equivalent to ``uv2xyzN_batch(u, computeUVN_batch(n, u, planeID),
+    planeID)`` with the arctan -> sin/cos detour collapsed algebraically
+    (v = arctan(w) implies cos v = 1/sqrt(1+w^2), sin v = w*cos v, and
+    arctan's range keeps cos v > 0) — three transcendental passes become
+    one sqrt. This sampling is the hot inner step of refit and paint.
+    n: (N,3), u: (N,S), planeID: (N,) -> xyz (N,S,3) unit.
+    """
+    n = np.asarray(n, np.float64).copy()
+    planeID = np.asarray(planeID).astype(int)
+    m2 = planeID == 2
+    m3 = planeID == 3
+    if m2.any():
+        n[m2] = np.roll(n[m2], 2, axis=1)
+    if m3.any():
+        n[m3] = np.roll(n[m3], 1, axis=1)
+    su, cu = np.sin(u), np.cos(u)
+    bc = n[:, [0]] * su + n[:, [1]] * cu
+    w = -bc / (n[:, [2]] + 1e-9)
+    cv = 1.0 / np.sqrt(1.0 + w * w)
+    sv = w * cv
+    comp = np.stack([cv * su, cv * cu, sv], axis=-1)   # local axis order
+    N = len(n)
+    xyz = np.empty_like(comp)
+    ids = (np.arange(3)[None, :] + (planeID - 1)[:, None]) % 3
+    for k in range(3):
+        xyz[np.arange(N), :, ids[:, k]] = comp[:, :, k]
+    return xyz
+
+
 def uv2xyzN_batch(u, v, planeID):
     """Batched uv->xyz: u, v (N,S), planeID (N,) -> xyz (N,S,3)."""
     planeID = np.asarray(planeID).astype(int)
