@@ -147,9 +147,16 @@ def main():
     from horizonnet_tpu.models.registry import init_model
     from horizonnet_tpu.inference import InferenceEngine
 
-    B = int(os.environ.get("BENCH_B", 32))
+    # Defaults from the round-4 ingest A/B (AB_SERVING.json "wire_ab"):
+    # the tunnel charges a large fixed latency per device_put, so batch
+    # 64 amortizes it (32 -> 64 took dct4 166.4 -> 393.3 panos/s, tight
+    # reps). At 64 the 5.5 MB puts run ~34 MB/s — the link's measured
+    # bandwidth ceiling — so the stream is bytes-bound there and dct4's
+    # 88 KiB/pano is the right wire (dct@32 measured 173.3 the same
+    # session; dct@64's fresh compile outlived its budget window).
+    B = int(os.environ.get("BENCH_B", 64))
     depth = int(os.environ.get("BENCH_DEPTH", 3))
-    fmt = os.environ.get("BENCH_FMT", "dct")
+    fmt = os.environ.get("BENCH_FMT", "dct4")
     from horizonnet_tpu.ops.dct import (DEFAULT_CHROMA_M, DEFAULT_LUMA_M,
                                         DEFAULT_QUALITY)
     dct_ym = int(os.environ.get("BENCH_DCT_LUMA_M", DEFAULT_LUMA_M))
