@@ -17,10 +17,12 @@ committed demo pano (tests/test_dct.py + the drive check in
 .claude/skills/verify). "yuv420" and "uint8" remain available.
 
 Reported figures (one JSON line):
-- value: serving panos/sec, MEDIAN of BENCH_REPS timed loops (the
-  sandbox host<->device tunnel is bimodal — see README; the spread is
-  disclosed via "reps_panos_per_sec", and the best rep via
-  "best_panos_per_sec").
+- value: serving panos/sec, MEDIAN of BENCH_REPS-1 timed loops after
+  ONE discarded tunnel-warmup loop (the sandbox host<->device tunnel
+  is bimodal — see README; the first loop routinely lands in a colder
+  phase). The warmup loop, every counted rep, and the max/min spread
+  are disclosed via "warmup_rep_panos_per_sec", "reps_panos_per_sec"
+  and "reps_spread_pct"; the best rep via "best_panos_per_sec".
 - device_panos_per_sec: the compute-bound figure — same compiled
   program clocked on a device-resident batch (no ingest).
 - e2e_panos_per_sec: the BASELINE.json "preprocess+infer+post-proc"
@@ -223,12 +225,17 @@ def main():
 
     # The loop is repeated and the MEDIAN rep reported as the headline
     # (cross-round comparisons read this; a best-of-N headline would
-    # credit tunnel luck). The best rep and the full list are emitted
-    # alongside — the sandbox's host<->device tunnel is bimodal (see
-    # README), so the spread is part of the story.
-    n_reps = max(1, int(os.environ.get("BENCH_REPS", 3)))
-    reps = [serve_loop() for _ in range(n_reps)]
+    # credit tunnel luck). The FIRST rep is a tunnel warm-up and is
+    # excluded from the median (round-4 records show it landing in a
+    # different tunnel phase than the rest — 174 vs 302/380 in
+    # BENCH_r04); it is still disclosed, along with every counted rep
+    # and the max/min spread — the sandbox's host<->device tunnel is
+    # bimodal (see README), so the spread is part of the story.
+    n_reps = max(1, int(os.environ.get("BENCH_REPS", 5)))
+    warmup_rep = serve_loop() if n_reps > 1 else None
+    reps = [serve_loop() for _ in range(max(1, n_reps - 1))]
     panos_per_sec = float(np.median(reps))
+    spread_pct = round(100 * (max(reps) - min(reps)) / panos_per_sec, 1)
 
     # Compute-bound figure: the same program clocked on a device-resident
     # batch — no host->device ingest in the timed window. Completion is
@@ -259,6 +266,7 @@ def main():
     # reads *_aligned_rgb.png; *_aligned_line.png feeds LayoutNet, not
     # this model).
     e2e_pps = preprocess_s = e2e_vs_baseline = ref_e2e = None
+    e2e_vs_baseline_gpu_adj = ref_e2e_gpu = None
     e2e_workers = None
     if os.environ.get("BENCH_E2E", "1") != "0" and os.path.isfile(DEMO_RAW):
         from concurrent.futures import ThreadPoolExecutor
@@ -327,28 +335,43 @@ def main():
                                 "REF_E2E.json")
         if os.path.isfile(ref_path):
             with open(ref_path) as f:
-                ref_e2e = json.load(f).get("e2e_panos_per_sec")
+                ref_rec = json.load(f)
+            ref_e2e = ref_rec.get("e2e_panos_per_sec")
+            ref_e2e_gpu = ref_rec.get("e2e_panos_per_sec_gpu_adj")
             if ref_e2e:
                 e2e_vs_baseline = round(e2e_pps / ref_e2e, 2)
+            # The north star says "vs PyTorch-GPU": also quote the ratio
+            # against the GPU-adjusted reference (its CPU forward swapped
+            # for the README-derived 12 ms GPU estimate — see
+            # tools/ref_e2e.py gpu_adj_policy), pre-empting the
+            # "you compared against CPU torch" objection.
+            if ref_e2e_gpu:
+                e2e_vs_baseline_gpu_adj = round(e2e_pps / ref_e2e_gpu, 2)
 
     print(json.dumps({
         "metric": f"serving panos/sec (bf16 resnet50_rnn fwd + full "
                   f"{postproc} post-proc on device, batch {B}, 512x1024 "
                   f"aligned demo panos, {fmt} ingest "
-                  f"[{wire_bytes // 1024} KiB/pano], median of {n_reps} "
-                  f"timed loops; spread + compute-bound + preprocess-"
-                  f"inclusive figures in extra fields)",
+                  f"[{wire_bytes // 1024} KiB/pano], median of "
+                  f"{len(reps)} timed loops after 1 tunnel-warmup loop; "
+                  f"spread + compute-bound + preprocess-inclusive "
+                  f"figures in extra fields)",
         "value": round(panos_per_sec, 2),
         "unit": "panos/sec",
         "vs_baseline": round(panos_per_sec / REFERENCE_PANOS_PER_SEC_ESTIMATE,
                              2),
         "reps_panos_per_sec": [round(r, 2) for r in reps],
+        "warmup_rep_panos_per_sec": (round(warmup_rep, 2)
+                                     if warmup_rep is not None else None),
+        "reps_spread_pct": spread_pct,
         "best_panos_per_sec": round(max(reps), 2),
         "device_panos_per_sec": round(device_pps, 2),
         "e2e_panos_per_sec": (round(e2e_pps, 2)
                               if e2e_pps is not None else None),
         "e2e_vs_baseline": e2e_vs_baseline,
+        "e2e_vs_baseline_gpu_adj": e2e_vs_baseline_gpu_adj,
         "ref_e2e_panos_per_sec": ref_e2e,
+        "ref_e2e_gpu_adj_panos_per_sec": ref_e2e_gpu,
         "e2e_workers": e2e_workers,
         "preprocess_s_per_pano": (round(preprocess_s, 3)
                                   if preprocess_s is not None else None),

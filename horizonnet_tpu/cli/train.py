@@ -58,13 +58,14 @@ def build_argparser():
     parser.add_argument("--num_workers", default=2, type=int,
                         help="batch-prefetch worker threads (0 = sync)")
     parser.add_argument("--wire", default="uint8",
-                        choices=["uint8", "dct"],
+                        choices=["uint8", "dct", "dct4"],
                         help="training-batch upload format: raw uint8 "
-                             "pixels, or the compressed zig-zag DCT wire "
+                             "pixels, the compressed zig-zag DCT wire "
                              "(ops/dct.py; ~11x fewer bytes, decoded on "
-                             "device fused with the augmentation warp — "
-                             "for hosts whose accelerator link is the "
-                             "input bottleneck)")
+                             "device fused with the augmentation warp), "
+                             "or the block-floating-point nibble wire "
+                             "dct4 (~17x fewer bytes) — for hosts whose "
+                             "accelerator link is the input bottleneck")
     parser.add_argument("--n_model", default=1, type=int,
                         help="tensor-parallel mesh axis size (conv "
                              "channels sharded per parallel/sharding.py)")

@@ -80,6 +80,18 @@ def batched_augment_images_dct(packed, H, W, kx, ky, flip, dx, gamma_p):
     return jax.vmap(_augment_one)(imgs, kx, ky, flip, dx, gamma_p)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def batched_augment_images_dct4(packed, H, W, kx, ky, flip, dx, gamma_p):
+    """Block-floating-point nibble wire variant (ops/dct.py dct4):
+    ~17x fewer upload bytes than uint8 RGB (88 KiB vs 1.5 MB per
+    512x1024 pano); the nibble unpack + dequant + IDCT + color decode
+    fuses into the same device program as the augmentation warp."""
+    from ..ops.dct import unpack_dct4_to_rgb
+
+    imgs = unpack_dct4_to_rgb(packed, H, W)
+    return jax.vmap(_augment_one)(imgs, kx, ky, flip, dx, gamma_p)
+
+
 def sample_aug_params(rng: np.random.Generator, cor, W,
                       flip=True, rotate=True, gamma=True, stretch=True,
                       max_stretch=2.0):
@@ -133,8 +145,9 @@ def augment_batch(imgs, cors, rng: np.random.Generator, H, W,
     imgs: [B,H,W,3] float32/uint8; cors: list of (2N,2) corner arrays.
     wire: "uint8" uploads the raw pixels; "dct" packs the compressed
     zig-zag DCT wire format on host (ops/dct.py, lossy ~35 dB) and the
-    device decodes it fused with the warp — for training hosts whose
-    accelerator link is the bottleneck.
+    device decodes it fused with the warp; "dct4" is the block-floating-
+    point nibble wire (~17x fewer bytes than uint8) — for training hosts
+    whose accelerator link is the bottleneck.
     Returns (aug_imgs [B,H,W,3] jax, aug_cors list, params list).
     """
     B = imgs.shape[0]
@@ -144,14 +157,18 @@ def augment_batch(imgs, cors, rng: np.random.Generator, H, W,
     flip = jnp.asarray([p["flip"] for p in ps], bool)
     dx = jnp.asarray([p["dx"] for p in ps], jnp.int32)
     gp = jnp.asarray([p["p"] for p in ps], jnp.float32)
-    if wire == "dct":
-        from ..ops.dct import pack_dct
+    if wire in ("dct", "dct4"):
+        from ..ops.dct import pack_dct, pack_dct4
 
         imgs = np.asarray(imgs)
         if imgs.dtype != np.uint8:
             imgs = np.clip(np.rint(imgs * 255.0), 0, 255).astype(np.uint8)
-        out = batched_augment_images_dct(pack_dct(imgs), H, W,
-                                         kx, ky, flip, dx, gp)
+        if wire == "dct4":
+            out = batched_augment_images_dct4(pack_dct4(imgs), H, W,
+                                              kx, ky, flip, dx, gp)
+        else:
+            out = batched_augment_images_dct(pack_dct(imgs), H, W,
+                                             kx, ky, flip, dx, gp)
     else:
         assert wire == "uint8", wire
         out = batched_augment_images(jnp.asarray(imgs), kx, ky, flip, dx, gp)

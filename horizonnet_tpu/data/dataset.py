@@ -37,7 +37,7 @@ class PanoCorBonDataset:
         self.max_stretch = max_stretch
         self.return_cor = return_cor
         self.return_path = return_path
-        self.wire = wire  # "uint8" | "dct" batch upload format (augment.py)
+        self.wire = wire  # "uint8"|"dct"|"dct4" batch upload (augment.py)
         for f in self.txt_fnames:
             path = os.path.join(self.cor_dir, f)
             assert os.path.isfile(path), f"{path} not found"

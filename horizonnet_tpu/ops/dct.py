@@ -136,6 +136,27 @@ def _blockify(plane):
     return t.transpose(0, 1, 3, 2, 4).reshape(B, -1, 64)
 
 
+def _rgb_to_ycc420(rgb):
+    """Host: RGB uint8 [B, H, W, 3] -> (y, cb, cr) planes, chroma 2x2
+    box-subsampled.
+
+    The single source of the wire color contract: the exact fixed-point
+    BT.601 full-range pair of ops/yuv.py pack_yuv420, shared by pack_dct
+    and pack_dct4 so the two wires cannot diverge.
+    """
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    cb = 128 + (((b - y) * 144 + 128) >> 8)
+    cr = 128 + (((r - y) * 183 + 128) >> 8)
+    cb = np.clip((cb[:, 0::2, 0::2] + cb[:, 0::2, 1::2]
+                  + cb[:, 1::2, 0::2] + cb[:, 1::2, 1::2] + 2) >> 2, 0, 255)
+    cr = np.clip((cr[:, 0::2, 0::2] + cr[:, 0::2, 1::2]
+                  + cr[:, 1::2, 0::2] + cr[:, 1::2, 1::2] + 2) >> 2, 0, 255)
+    return y, cb, cr
+
+
 def pack_dct(rgb, luma_m=DEFAULT_LUMA_M, chroma_m=DEFAULT_CHROMA_M,
              quality=DEFAULT_QUALITY):
     """Host/client: RGB uint8 [B, H, W, 3] -> flat int8 wire array.
@@ -148,17 +169,7 @@ def pack_dct(rgb, luma_m=DEFAULT_LUMA_M, chroma_m=DEFAULT_CHROMA_M,
     assert rgb.dtype == np.uint8 and rgb.ndim == 4 and rgb.shape[-1] == 3
     B, H, W, _ = rgb.shape
     assert H % 16 == 0 and W % 16 == 0
-    r = rgb[..., 0].astype(np.int32)
-    g = rgb[..., 1].astype(np.int32)
-    b = rgb[..., 2].astype(np.int32)
-    y = (77 * r + 150 * g + 29 * b + 128) >> 8
-    cb = 128 + (((b - y) * 144 + 128) >> 8)
-    cr = 128 + (((r - y) * 183 + 128) >> 8)
-    # 2x2 box-mean chroma subsample (same as pack_yuv420)
-    cb = np.clip((cb[:, 0::2, 0::2] + cb[:, 0::2, 1::2]
-                  + cb[:, 1::2, 0::2] + cb[:, 1::2, 1::2] + 2) >> 2, 0, 255)
-    cr = np.clip((cr[:, 0::2, 0::2] + cr[:, 0::2, 1::2]
-                  + cr[:, 1::2, 0::2] + cr[:, 1::2, 1::2] + 2) >> 2, 0, 255)
+    y, cb, cr = _rgb_to_ycc420(rgb)
 
     out = []
     for plane, m, chroma in ((y, luma_m, False), (cb, chroma_m, True),
@@ -284,16 +295,7 @@ def pack_dct4(rgb, luma_m=DEFAULT_LUMA_M, chroma_m=DEFAULT_CHROMA_M,
     assert rgb.dtype == np.uint8 and rgb.ndim == 4 and rgb.shape[-1] == 3
     B, H, W, _ = rgb.shape
     assert H % 16 == 0 and W % 16 == 0
-    r = rgb[..., 0].astype(np.int32)
-    g = rgb[..., 1].astype(np.int32)
-    b = rgb[..., 2].astype(np.int32)
-    y = (77 * r + 150 * g + 29 * b + 128) >> 8
-    cb = 128 + (((b - y) * 144 + 128) >> 8)
-    cr = 128 + (((r - y) * 183 + 128) >> 8)
-    cb = np.clip((cb[:, 0::2, 0::2] + cb[:, 0::2, 1::2]
-                  + cb[:, 1::2, 0::2] + cb[:, 1::2, 1::2] + 2) >> 2, 0, 255)
-    cr = np.clip((cr[:, 0::2, 0::2] + cr[:, 0::2, 1::2]
-                  + cr[:, 1::2, 0::2] + cr[:, 1::2, 1::2] + 2) >> 2, 0, 255)
+    y, cb, cr = _rgb_to_ycc420(rgb)
 
     out = []
     for plane, m, chroma in ((y, luma_m, False), (cb, chroma_m, True),
@@ -328,7 +330,9 @@ def unpack_dct4_to_rgb(packed, H=512, W=1024, luma_m=DEFAULT_LUMA_M,
         lo = jnp.right_shift(jnp.left_shift(nb, 4), 4)
         hi = jnp.right_shift(nb, 4)
         nibs = jnp.stack([lo, hi], -1).reshape(B, n, 2 * (tb - 1))
-        shift = (nibs[..., 0] & 0xF).astype(jnp.int32)          # 0..7
+        # encoder shifts are 0..7 by construction (_bfp_pack_plane clips),
+        # so the sign-extended lo nibble is already the exponent
+        shift = nibs[..., 0].astype(jnp.int32)                  # 0..7
         mant = nibs[..., 1:m].astype(jnp.float32)               # [B,n,m-1]
         scale = jnp.left_shift(jnp.int32(1), shift).astype(jnp.float32)
         coefs = jnp.concatenate([dc[..., None], mant * scale[..., None]],

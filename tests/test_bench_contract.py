@@ -58,11 +58,16 @@ def test_bench_helpers_match_engine_contract():
                  "BENCH_E2E_WORKERS", "BENCH_E2E_B", "BENCH_E2E_N"):
         assert knob in src, knob
 
-    # Headline contract (round-3 verdict): value = MEDIAN of reps, best
-    # kept as a side field; e2e carries its own measured divisor.
+    # Headline contract (round-3 + round-4 verdicts): value = MEDIAN of
+    # the counted reps after ONE discarded tunnel-warmup loop, best +
+    # warmup + spread kept as side fields; e2e carries its own measured
+    # divisor, both raw and GPU-adjusted.
     assert "panos_per_sec = float(np.median(reps))" in src
-    for field in ("best_panos_per_sec", "e2e_vs_baseline",
-                  "ref_e2e_panos_per_sec"):
+    assert "warmup_rep = serve_loop() if n_reps > 1 else None" in src
+    for field in ("best_panos_per_sec", "warmup_rep_panos_per_sec",
+                  "reps_spread_pct", "e2e_vs_baseline",
+                  "e2e_vs_baseline_gpu_adj", "ref_e2e_panos_per_sec",
+                  "ref_e2e_gpu_adj_panos_per_sec"):
         assert field in src, field
 
 
@@ -122,9 +127,22 @@ def test_ref_e2e_divisor_merge_is_conservative():
     out4 = mod.merge_runs(legacy, run(0.09, pipe="new"))
     assert out4["e2e_panos_per_sec"] == 0.12 and len(out4["runs"]) == 2
 
+    # gpu_adj divisor is rebuilt from the fastest stage times across runs
+    out5 = mod.merge_runs(
+        out3, dict(run(0.09, pre=6.0, pipe="d"),
+                   host_post_s_per_pano=0.05,
+                   e2e_panos_per_sec_gpu_adj=0.16))
+    assert out5["e2e_panos_per_sec_gpu_adj"] == round(
+        1.0 / (5.0 + 0.05 + mod.GPU_FWD_S), 4)
+
     # The committed artifact follows the policy
     import json as _json
     with open(os.path.join(ROOT, "REF_E2E.json")) as f:
         rec = _json.load(f)
     assert rec["e2e_panos_per_sec"] == max(
         r["e2e_panos_per_sec"] for r in rec["runs"])
+    pres = [r["preprocess_s_per_pano"] for r in rec["runs"]]
+    posts = [r["host_post_s_per_pano"] for r in rec["runs"]
+             if "host_post_s_per_pano" in r]
+    assert rec["e2e_panos_per_sec_gpu_adj"] == round(
+        1.0 / (min(pres) + min(posts) + mod.GPU_FWD_S), 4)

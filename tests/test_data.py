@@ -89,9 +89,11 @@ def test_find_occlusion_square_room():
     assert not occ.any()
 
 
-def test_dct_wire_augment_matches_uint8_wire():
-    """--wire dct: the fused decode+warp program must track the uint8
-    path within the wire format's lossy budget (~35 dB -> a few /255)."""
+@pytest.mark.parametrize("wire", ["dct", "dct4"])
+def test_dct_wire_augment_matches_uint8_wire(wire):
+    """--wire dct/dct4: the fused decode+warp program must track the
+    uint8 path within the wire format's lossy budget (~35 dB -> a few
+    /255; dct4's block-floating-point AC adds a little on edge tiles)."""
     from horizonnet_tpu.data.augment import augment_batch
     from tests.test_yuv import _smooth_image
 
@@ -104,7 +106,7 @@ def test_dct_wire_augment_matches_uint8_wire():
         imgs, cors, np.random.default_rng(7), 64, 128,
         flip=True, rotate=True, gamma=True, stretch=True)
     out_dct, cors_dct, _ = augment_batch(
-        imgs, cors, np.random.default_rng(7), 64, 128, wire="dct",
+        imgs, cors, np.random.default_rng(7), 64, 128, wire=wire,
         flip=True, rotate=True, gamma=True, stretch=True)
 
     # identical host RNG stream -> identical aug params -> identical labels
@@ -112,3 +114,57 @@ def test_dct_wire_augment_matches_uint8_wire():
         np.testing.assert_array_equal(a, b)
     err = np.abs(np.asarray(out_dct) - np.asarray(out_u8))
     assert err.max() < 0.12 and err.mean() < 0.01, (err.max(), err.mean())
+
+
+def test_dct4_wire_train_step_equivalence():
+    """A train step fed by the dct4 wire must match the uint8-wire step:
+    same aug params/labels, loss terms within the wire's lossy budget,
+    and the two updated parameter trees stay close (the wire changes
+    ingest bytes, not training semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from horizonnet_tpu.data.augment import augment_batch
+    from horizonnet_tpu.models import build_model
+    from horizonnet_tpu.models.registry import init_model
+    from horizonnet_tpu.train import create_train_state, train_step, \
+        warmup_poly_schedule
+    from horizonnet_tpu.train.step import make_optimizer
+    from tests.test_yuv import _smooth_image
+
+    H, W = 64, 128
+    imgs = _smooth_image(np.random.default_rng(3), B=2, H=H, W=W)
+    cors = [np.array([[10.0, 20.0], [10.0, 44.0],
+                      [70.0, 18.0], [70.0, 46.0]])] * 2
+    outs = {}
+    for wire in ("uint8", "dct4"):
+        x, _, _ = augment_batch(imgs, cors, np.random.default_rng(7),
+                                H, W, wire=wire, flip=True, rotate=True,
+                                gamma=True, stretch=True)
+        outs[wire] = np.asarray(x)
+
+    model = build_model("resnet18", use_rnn=False)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    # host snapshot: train_step donates its state, and jnp.asarray on a
+    # device array is a no-op — without this the second wire's state
+    # would alias the first step's donated (deleted) buffers
+    variables = jax.tree.map(np.asarray, variables)
+    rng = np.random.default_rng(0)
+    yb = jnp.asarray(rng.normal(0, 0.3, (2, 2, W)), jnp.float32)
+    yc = jnp.asarray(rng.uniform(0, 1, (2, 1, W)), jnp.float32)
+
+    stepped = {}
+    for wire, x in outs.items():
+        tx = make_optimizer("Adam", warmup_poly_schedule(1e-3, 100))
+        state = create_train_state(
+            model, jax.tree.map(jnp.asarray, variables), tx)
+        new_state, metrics = train_step(model, state, jnp.asarray(x),
+                                        yb, yc, jax.random.PRNGKey(1))
+        stepped[wire] = (jax.tree.map(np.asarray, new_state.params),
+                         {k: float(v) for k, v in metrics.items()})
+
+    m_u8, m_d4 = stepped["uint8"][1], stepped["dct4"][1]
+    assert m_d4["total"] == pytest.approx(m_u8["total"], rel=0.02)
+    leaves_u8 = jax.tree.leaves(stepped["uint8"][0])
+    leaves_d4 = jax.tree.leaves(stepped["dct4"][0])
+    for a, b in zip(leaves_u8, leaves_d4):
+        np.testing.assert_allclose(a, b, atol=5e-3)

@@ -138,8 +138,15 @@ def install_shims():
     sys.modules["dataset"] = dataset_mod
 
 
-_RUN_KEYS = ("e2e_panos_per_sec", "preprocess_s_per_pano",
-             "infer_postproc_s_per_pano", "n_timed", "pipeline")
+_RUN_KEYS = ("e2e_panos_per_sec", "e2e_panos_per_sec_gpu_adj",
+             "preprocess_s_per_pano", "infer_postproc_s_per_pano",
+             "forward_s_per_pano", "host_post_s_per_pano", "n_timed",
+             "pipeline")
+
+# README-derived GPU forward estimate for the reference (bench.py
+# docstring: ~45 GFLOPs -> 12-19 ms on a V100/A100-class part at batch-1
+# utilization); the FAST end, generous to the reference.
+GPU_FWD_S = 0.012
 
 
 def merge_runs(prev, result):
@@ -157,12 +164,23 @@ def merge_runs(prev, result):
         runs = list(prev.get("runs", []))
         if not runs and "e2e_panos_per_sec" in prev:
             runs.append({k: prev[k] for k in _RUN_KEYS if k in prev})
-    runs.append({k: result[k] for k in _RUN_KEYS})
+    runs.append({k: result[k] for k in _RUN_KEYS if k in result})
     best = max(runs, key=lambda r: r["e2e_panos_per_sec"])
     result = dict(result)
     result["runs"] = runs
     for k in _RUN_KEYS:
-        result[k] = best[k]
+        if k in best:
+            result[k] = best[k]
+    # gpu_adj divisor, rebuilt from the FASTEST components observed
+    # across all runs (this 1-core host swings ~30% run to run; taking
+    # each stage's best keeps the divisor conservative against our
+    # e2e_vs_baseline_gpu_adj, same policy as the main divisor)
+    pres = [r["preprocess_s_per_pano"] for r in runs]
+    posts = [r["host_post_s_per_pano"] for r in runs
+             if "host_post_s_per_pano" in r]
+    if posts:
+        result["e2e_panos_per_sec_gpu_adj"] = round(
+            1.0 / (min(pres) + min(posts) + GPU_FWD_S), 4)
     return result
 
 
@@ -216,14 +234,41 @@ def main():
         for _ in range(args.n):
             cor_id, z0, z1, _ = ref_inference.inference(
                 net, x, "cpu", force_cuboid=True)
-    t_inf = (time.time() - t0) / args.n
+        t_inf = (time.time() - t0) / args.n
+        # bare net forward, to split t_inf into forward vs host postproc
+        # (feeds the GPU-adjusted divisor below)
+        net(x)  # warmup
+        t0 = time.time()
+        for _ in range(args.n):
+            net(x)
+        t_fwd = (time.time() - t0) / args.n
     assert len(cor_id) == 8 and np.isfinite(z1)
-    print(f"reference forward+postproc: {t_inf:.2f} s/pano",
-          file=sys.stderr)
+    print(f"reference forward+postproc: {t_inf:.2f} s/pano "
+          f"(bare forward {t_fwd:.2f})", file=sys.stderr)
 
     e2e = 1.0 / (t_pre + t_inf)
+    # GPU-adjusted divisor: BASELINE.json's north star says "vs
+    # PyTorch-GPU", but this host can only run the reference's forward on
+    # CPU. Replace the measured CPU forward with the GPU estimate derived
+    # in bench.py's docstring from the reference's own FLOP count (12-19
+    # ms on a V100/A100-class part at batch-1 utilization); take the FAST
+    # end (12 ms, generous to the reference). Preprocess and the host
+    # Manhattan postproc are CPU-only in the reference either way
+    # (SURVEY.md §3.1-3.2: no GPU touches preprocess.py or post_proc.py).
+    t_host_post = max(t_inf - t_fwd, 0.0)
+    e2e_gpu_adj = 1.0 / (t_pre + t_host_post + GPU_FWD_S)
     result = {
         "e2e_panos_per_sec": round(e2e, 4),
+        "e2e_panos_per_sec_gpu_adj": round(e2e_gpu_adj, 4),
+        "gpu_adj_policy": "CPU forward replaced by the 12 ms GPU-forward "
+                          "estimate (fast end of bench.py's 12-19 ms "
+                          "derivation, generous to the reference); "
+                          "preprocess + host Manhattan postproc stay "
+                          "measured (CPU-only in the reference); "
+                          "rebuilt from the fastest stage times across "
+                          "recorded runs",
+        "forward_s_per_pano": round(t_fwd, 3),
+        "host_post_s_per_pano": round(t_host_post, 3),
         "divisor_policy": "max over recorded runs — this 1-core sandbox "
                           "host varies ~30% run to run, so the divisor "
                           "keeps the FASTEST reference figure observed "

@@ -127,6 +127,19 @@ def main(steps=30, bs=24, backbone="resnet50", dtype="bf16",
     force(m)
     dt_dct = (time.time() - t0) / n_host
 
+    # (b4) dct4-fed: the block-floating-point nibble wire — the
+    # --wire dct4 train CLI path (~17x fewer bytes than uint8).
+    from horizonnet_tpu.ops.dct import pack_dct4, unpack_dct4_to_rgb
+    packed4 = pack_dct4(imgs)
+    decode4 = jax.jit(lambda p: unpack_dct4_to_rgb(p, H, W))
+    jax.block_until_ready(decode4(jax.device_put(packed4)))  # warmup
+    t0 = time.time()
+    for _ in range(n_host):
+        jrng, s = jax.random.split(jrng)
+        m = engine.step(decode4(jax.device_put(packed4)), y_bon, y_cor, s)
+    force(m)
+    dt_dct4 = (time.time() - t0) / n_host
+
     # (c) fused scan: S steps per dispatch, ONE compiled program.
     # Excludes per-dispatch link latency entirely; rng folded per step.
     # Runs LAST with the engine's device state freed first — two resident
@@ -201,6 +214,10 @@ def main(steps=30, bs=24, backbone="resnet50", dtype="bf16",
           f"{bs / dt_dct:7.1f} panos/s  "
           f"({packed.nbytes / 1e6:.1f} MB/step upload + device "
           f"decode — the CLI's --wire dct path)")
+    print(f"host-fed dct4:   {dt_dct4 * 1e3:8.1f} ms/step  "
+          f"{bs / dt_dct4:7.1f} panos/s  "
+          f"({packed4.nbytes / 1e6:.1f} MB/step upload + device "
+          f"decode — the CLI's --wire dct4 path)")
     return 0
 
 
