@@ -144,7 +144,21 @@ def _segment_votes(xy, gpid, tol, n_seg):
 
     gpid [B, W] segment id per column in [0, n_seg); returns
     (fit, score, l1, mean) each [B, n_seg, 2].
+
+    Two equivalent engines (pinned against each other in
+    tests/test_postproc_device.py): the padded-row form has smaller
+    constants and wins at the cuboid's 4 segments (device 612 vs 586
+    panos/s at batch 64); the grouped single-lexsort form wins
+    asymptotically and carries the general mode's 32 segments (518 vs
+    the padded form's 325).
     """
+    if n_seg <= 4:
+        return _segment_votes_padded(xy, gpid, tol, n_seg)
+    return _segment_votes_grouped(xy, gpid, tol, n_seg)
+
+
+def _segment_votes_padded(xy, gpid, tol, n_seg):
+    """vote_sorted over [B, n_seg, 2, W] masked per-segment rows."""
     B, W, _ = xy.shape
     seg_mask = gpid[:, None, :] == jnp.arange(n_seg)[None, :, None]
     vals_ax = jnp.transpose(xy, (0, 2, 1))                         # [B,2,W]
@@ -158,6 +172,117 @@ def _segment_votes(xy, gpid, tol, n_seg):
                         0.0).sum(-1)
     mean = seg_sum / jnp.maximum(m, 1)
     return fit, sc, l1, mean
+
+
+def _segment_votes_grouped(xy, gpid, tol, n_seg):
+    """Same contract as _segment_votes, WITHOUT
+    materializing [B, n_seg, 2, W] padded rows: the W columns partition
+    into the segments, so one exact (segment, value) lexsort per axis
+    (two stable argsorts — no composite float keys, no precision loss)
+    makes every segment a contiguous ascending run of ONE [B, 2, W]
+    array, and the span search becomes a 3-key merge sort of 2W elements
+    instead of a per-segment searchsorted. At n_seg=32 this replaces the
+    [4096, 2048] sort + rank machinery that dominated the general-mode
+    device program (traced at ~90 of 231 ms/step, batch 64) with
+    [128, 2048]-sized work.
+    """
+    B, W, _ = xy.shape
+    vals = jnp.transpose(xy, (0, 2, 1))                      # [B, 2, W]
+    seg = jnp.broadcast_to(gpid[:, None, :], vals.shape)     # [B, 2, W]
+
+    # exact lexsort by (segment, value): stable argsort by value, then
+    # stable argsort by segment of that arrangement
+    idx1 = jnp.argsort(vals, axis=-1, stable=True)
+    seg1 = jnp.take_along_axis(seg, idx1, -1)
+    order = jnp.take_along_axis(idx1, jnp.argsort(seg1, axis=-1,
+                                                  stable=True), -1)
+    v = jnp.take_along_axis(vals, order, -1)        # grouped, asc per seg
+    s = jnp.take_along_axis(seg, order, -1)
+
+    # segment sizes and exclusive starts (identical for both axes)
+    m_seg = (gpid[:, :, None]
+             == jnp.arange(n_seg)[None, None, :]).sum(1)     # [B, n_seg]
+    start = (jnp.cumsum(m_seg, -1) - m_seg)[:, None, :]      # [B, 1, n_seg]
+    m2 = m_seg[:, None, :]                                   # [B, 1, n_seg]
+
+    # Span search, host ``vote`` semantics (ref post_proc.py:75-98): for
+    # each start i, ss(i) = #entries j in i's segment with
+    # v[j] <= v[i] + tol - 1e-9 (global index — previous segments' counts
+    # cancel in the span). One lexicographic merge of (entries, queries):
+    # queries sort after equal-valued entries via the flag key, and the
+    # rank of a query = its merge position minus the queries before it.
+    q = v + (tol[:, None, None] - 1e-9)
+    key_seg = jnp.concatenate([s, s], -1)                    # [B, 2, 2W]
+    key_val = jnp.concatenate([v, q], -1)
+    key_flag = jnp.concatenate([jnp.zeros_like(s), jnp.ones_like(s)], -1)
+    _, _, sflag = jax.lax.sort((key_seg, key_val, key_flag),
+                               num_keys=3, dimension=-1)
+    cnt_q = jnp.cumsum(sflag, -1)                            # queries <= p
+    rank = jnp.arange(2 * W) - cnt_q + 1                     # entries <= q
+    # The queries keep their original order in the merge (stable lexsort,
+    # q ascending within segments), so the k-th flagged position holds
+    # query k: compact by scattering rank to k = cnt_q - 1.
+    k = jnp.where(sflag == 1, cnt_q - 1, W)                  # W -> dropped
+    ss = jnp.zeros((B, 2, W), jnp.int32)
+    bi = jnp.arange(B)[:, None, None]
+    ai = jnp.arange(2)[None, :, None]
+    ss = ss.at[bi, ai, k].set(rank, mode="drop")
+
+    idx = jnp.arange(W)
+    ss = jnp.maximum(ss, idx + 1)
+    span = ss - idx
+
+    m_i = jnp.take_along_axis(m2, s, -1)                     # [B, 2, W]
+    ok = span >= 0.4 * m_i
+    # best span per segment, earliest start breaking ties (the host
+    # argmax over the row-major span matrix): encode (span, -i_local)
+    # into one int32 and segment-max over the contiguous runs
+    start_i = jnp.take_along_axis(jnp.broadcast_to(start, (B, 2, n_seg)),
+                                  s, -1)
+    i_local = idx - start_i
+    enc = jnp.where(ok, span * (W + 1) + (W - 1 - i_local), -1)
+    rows = (jnp.arange(B * 2)[:, None] * n_seg).reshape(B, 2, 1)
+    sid = (rows + s).reshape(-1)
+    best = jax.ops.segment_max(enc.reshape(-1), sid,
+                               num_segments=B * 2 * n_seg,
+                               indices_are_sorted=True).reshape(B, 2, n_seg)
+    has_span = best >= 0
+    best = jnp.maximum(best, 0)
+    span_b = best // (W + 1)
+    i_b = start + (W - 1 - best % (W + 1))                   # [B, 2, n_seg]
+    ss_b = i_b + span_b
+
+    cs0 = jnp.concatenate(
+        [jnp.zeros((B, 2, 1), v.dtype), jnp.cumsum(v, -1)], -1)
+    sum_b = (jnp.take_along_axis(cs0, ss_b, -1)
+             - jnp.take_along_axis(cs0, i_b, -1))
+    span_fit = sum_b / jnp.maximum(span_b, 1)
+
+    # median fallback over each contiguous run (np.median semantics);
+    # empty segments (start may be W) clamp their gather and are masked
+    lo = jnp.minimum(start + jnp.maximum((m2 - 1) // 2, 0), W - 1)
+    hi = jnp.minimum(start + jnp.maximum(m2 // 2, 0), W - 1)
+    med = 0.5 * (jnp.take_along_axis(v, lo, -1)
+                 + jnp.take_along_axis(v, hi, -1))
+    med = jnp.where(m2 > 0, med, 0.0)
+
+    has = has_span & (m2 >= tol[:, None, None])
+    fit = jnp.where(has, span_fit, med)
+    p_score = jnp.where(has, span_b / jnp.maximum(m2, 1), 0.0)
+
+    fit_i = jnp.take_along_axis(fit, s, -1)                  # [B, 2, W]
+    ca0 = jnp.concatenate(
+        [jnp.zeros((B, 2, 1), v.dtype),
+         jnp.cumsum(jnp.abs(v - fit_i), -1)], -1)
+    seg_end = start + m2
+    l1 = (jnp.take_along_axis(ca0, seg_end, -1)
+          - jnp.take_along_axis(ca0, start + 0 * m2, -1)) / jnp.maximum(m2, 1)
+    mean = (jnp.take_along_axis(cs0, seg_end, -1)
+            - jnp.take_along_axis(cs0, start + 0 * m2, -1)) / jnp.maximum(m2,
+                                                                          1)
+
+    tr = lambda a: jnp.transpose(a, (0, 2, 1))  # noqa: E731
+    return tr(fit), tr(p_score), tr(l1), tr(mean)
 
 
 def postprocess_cuboid_batch(y_bon, y_cor, H=512, W=1024, z0=50.0, r=0.05):

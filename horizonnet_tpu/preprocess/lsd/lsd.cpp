@@ -37,11 +37,18 @@ struct Rect {
 };
 
 struct Grad {
-  std::vector<double> mod;    // gradient magnitude
-  std::vector<double> angle;  // level-line angle or kNoAngle
+  std::vector<double> mod;      // gradient magnitude
+  std::vector<unsigned char> has;  // level-line defined (mod > threshold)
+  std::vector<double> cang;     // cos(level-line angle) where has
+  std::vector<double> sang;     // sin(level-line angle)
   int w = 0, h = 0;
   double at_mod(int x, int y) const { return mod[y * w + x]; }
-  double at_ang(int x, int y) const { return angle[y * w + x]; }
+  // angle reconstructed on demand — the eager atan2 over every
+  // above-threshold pixel was ~17% of the detector; only refine_region's
+  // tau estimate needs actual angles, for a few points per region
+  double at_ang(int x, int y) const {
+    return std::atan2(sang[(size_t)y * w + x], cang[(size_t)y * w + x]);
+  }
 };
 
 inline bool double_eq(double a, double b) {
@@ -84,6 +91,13 @@ std::vector<double> gaussian_kernel(int n, double sigma, double mean) {
 
 // Downscale by `scale` (<1) with Gaussian anti-alias filtering, as in the
 // published algorithm: sigma = sigma_scale / scale.
+//
+// Per-output-pixel work is the hot path of the whole detector on small
+// views, so: (a) kernels are cached per sub-pixel phase (xx - xc repeats
+// with a short period for rational scales — e.g. 4 phases at scale 0.8 —
+// so identical kernels were being rebuilt per column), and (b) the
+// symmetric-boundary index wrapping is hoisted out of the interior
+// columns, which need none.
 void gaussian_downscale(const double *img, int w, int h, double scale,
                         double sigma_scale, std::vector<double> &out,
                         int &nw, int &nh) {
@@ -97,38 +111,69 @@ void gaussian_downscale(const double *img, int w, int h, double scale,
   std::vector<double> aux((size_t)nw * h);
   out.assign((size_t)nw * nh, 0.0);
 
+  // kernel cache keyed on the sub-pixel offset (exact double compare is
+  // safe: equal phases come from identical floating-point expressions)
+  std::vector<double> offs;
+  std::vector<std::vector<double>> kers;
+  auto ker_for = [&](double off) -> const std::vector<double> & {
+    for (size_t i = 0; i < offs.size(); ++i)
+      if (offs[i] == off) return kers[i];
+    offs.push_back(off);
+    kers.push_back(gaussian_kernel(n, sigma, (double)rad + off));
+    return kers.back();
+  };
+  auto sym = [](int j, int dim) {
+    while (j < 0) j += 2 * dim;
+    while (j >= 2 * dim) j -= 2 * dim;
+    if (j >= dim) j = 2 * dim - 1 - j;
+    return j;
+  };
+
   // x pass
   for (int x = 0; x < nw; ++x) {
     double xx = x / scale;
     int xc = (int)std::floor(xx + 0.5);
-    auto ker = gaussian_kernel(n, sigma, (double)rad + xx - xc);
-    for (int y = 0; y < h; ++y) {
-      double sum = 0;
-      for (int i = 0; i < n; ++i) {
-        int j = xc - rad + i;
-        while (j < 0) j += 2 * w;
-        while (j >= 2 * w) j -= 2 * w;
-        if (j >= w) j = 2 * w - 1 - j;  // symmetric boundary
-        sum += img[(size_t)y * w + j] * ker[i];
+    const auto &ker = ker_for(xx - xc);
+    int j0 = xc - rad;
+    if (j0 >= 0 && j0 + n <= w) {  // interior: no boundary handling
+      for (int y = 0; y < h; ++y) {
+        const double *row = img + (size_t)y * w + j0;
+        double sum = 0;
+        for (int i = 0; i < n; ++i) sum += row[i] * ker[i];
+        aux[(size_t)y * nw + x] = sum;
       }
-      aux[(size_t)y * nw + x] = sum;
+    } else {
+      std::vector<int> js(n);
+      for (int i = 0; i < n; ++i) js[i] = sym(j0 + i, w);
+      for (int y = 0; y < h; ++y) {
+        const double *row = img + (size_t)y * w;
+        double sum = 0;
+        for (int i = 0; i < n; ++i) sum += row[js[i]] * ker[i];
+        aux[(size_t)y * nw + x] = sum;
+      }
     }
   }
   // y pass
   for (int y = 0; y < nh; ++y) {
     double yy = y / scale;
     int yc = (int)std::floor(yy + 0.5);
-    auto ker = gaussian_kernel(n, sigma, (double)rad + yy - yc);
-    for (int x = 0; x < nw; ++x) {
-      double sum = 0;
+    const auto &ker = ker_for(yy - yc);
+    int j0 = yc - rad;
+    double *dst = out.data() + (size_t)y * nw;
+    if (j0 >= 0 && j0 + n <= h) {
+      std::memset(dst, 0, sizeof(double) * nw);
       for (int i = 0; i < n; ++i) {
-        int j = yc - rad + i;
-        while (j < 0) j += 2 * h;
-        while (j >= 2 * h) j -= 2 * h;
-        if (j >= h) j = 2 * h - 1 - j;
-        sum += aux[(size_t)j * nw + x] * ker[i];
+        const double *row = aux.data() + (size_t)(j0 + i) * nw;
+        double kv = ker[i];
+        for (int x = 0; x < nw; ++x) dst[x] += row[x] * kv;
       }
-      out[(size_t)y * nw + x] = sum;
+    } else {
+      std::memset(dst, 0, sizeof(double) * nw);
+      for (int i = 0; i < n; ++i) {
+        const double *row = aux.data() + (size_t)sym(j0 + i, h) * nw;
+        double kv = ker[i];
+        for (int x = 0; x < nw; ++x) dst[x] += row[x] * kv;
+      }
     }
   }
 }
@@ -143,7 +188,9 @@ void compute_gradient(const std::vector<double> &img, int w, int h,
   g.w = w;
   g.h = h;
   g.mod.assign((size_t)w * h, 0.0);
-  g.angle.assign((size_t)w * h, kNoAngle);
+  g.has.assign((size_t)w * h, 0);
+  g.cang.assign((size_t)w * h, 0.0);
+  g.sang.assign((size_t)w * h, 0.0);
 
   double max_grad = 0.0;
   for (int y = 0; y < h - 1; ++y) {
@@ -156,7 +203,12 @@ void compute_gradient(const std::vector<double> &img, int w, int h,
       double norm = std::sqrt(gx * gx + gy * gy);
       g.mod[a] = norm;
       if (norm > threshold) {
-        g.angle[a] = std::atan2(gx, -gy);
+        g.has[a] = 1;
+        // the level-line unit vector comes free from the gradient:
+        // angle = atan2(gx, -gy) => (cos, sin) = (-gy, gx) / norm —
+        // saves a cos+sin (and later an atan2) per region-grow accept
+        g.cang[a] = -gy / norm;
+        g.sang[a] = gx / norm;
         if (norm > max_grad) max_grad = norm;
       }
     }
@@ -167,9 +219,9 @@ void compute_gradient(const std::vector<double> &img, int w, int h,
   double inv = max_grad > 0 ? (double)(n_bins - 1) / max_grad : 0.0;
   for (int y = 0; y < h - 1; ++y)
     for (int x = 0; x < w - 1; ++x) {
-      double m = g.mod[(size_t)y * w + x];
-      if (g.angle[(size_t)y * w + x] == kNoAngle) continue;
-      int b = (int)(m * inv);
+      size_t a = (size_t)y * w + x;
+      if (!g.has[a]) continue;
+      int b = (int)(g.mod[a] * inv);
       if (b >= n_bins) b = n_bins - 1;
       bins[b].push_back({x, y});
     }
@@ -185,9 +237,19 @@ void region_grow(const Grad &g, std::vector<char> &used, Pt seed,
                  double prec, std::vector<Pt> &region, double &reg_angle) {
   region.clear();
   region.push_back(seed);
-  reg_angle = g.at_ang(seed.x, seed.y);
-  double sumdx = std::cos(reg_angle), sumdy = std::sin(reg_angle);
-  used[(size_t)seed.y * g.w + seed.x] = 1;
+  size_t sa = (size_t)seed.y * g.w + seed.x;
+  double sumdx = g.cang[sa], sumdy = g.sang[sa];
+  used[sa] = 1;
+
+  // The acceptance test |wrap(reg_angle - ang)| <= prec is evaluated as
+  // cos(reg_angle - ang) >= cos(prec), i.e. dot(sum, u_ang) >= cos(prec)
+  // * |sum| with the precomputed unit level-line vectors — one sqrt per
+  // accepted pixel instead of cos+sin+atan2 (the detector's hottest
+  // loop). cos is monotonic on [0, pi] only, so prec >= pi (possible for
+  // the tau retry in refine_region) accepts everything, exactly like
+  // angle_diff's [0, pi] range would.
+  double cos_prec = prec >= M_PI ? -2.0 : std::cos(prec);
+  double r = 1.0;  // |(sumdx, sumdy)|; the seed vector is unit
 
   for (size_t i = 0; i < region.size(); ++i) {
     Pt p = region[i];
@@ -196,16 +258,17 @@ void region_grow(const Grad &g, std::vector<char> &used, Pt seed,
         if (xx < 0 || yy < 0 || xx >= g.w || yy >= g.h) continue;
         size_t a = (size_t)yy * g.w + xx;
         if (used[a]) continue;
-        double ang = g.angle[a];
-        if (ang == kNoAngle || angle_diff(reg_angle, ang) > prec) continue;
+        if (!g.has[a]) continue;
+        if (sumdx * g.cang[a] + sumdy * g.sang[a] < cos_prec * r) continue;
         used[a] = 1;
         region.push_back({xx, yy});
-        sumdx += std::cos(ang);
-        sumdy += std::sin(ang);
-        reg_angle = std::atan2(sumdy, sumdx);
+        sumdx += g.cang[a];
+        sumdy += g.sang[a];
+        r = std::sqrt(sumdx * sumdx + sumdy * sumdy);
       }
     }
   }
+  reg_angle = std::atan2(sumdy, sumdx);
 }
 
 double region_theta(const std::vector<Pt> &region, const Grad &g, double cx,
@@ -327,8 +390,14 @@ inline bool in_rect(const Rect &r, double x, double y) {
          std::fabs(wd) <= r.width / 2.0 + 0.5;
 }
 
-double rect_nfa(const Rect &r, const Grad &g, double logNT) {
-  int pts = 0, alg = 0;
+// NFA of the rect at its own precision AND nprec-1 successive halvings
+// of p, all from ONE bbox scan (the pixel-in-rect test is independent of
+// the precision, so rect_improve's finer-precision trials were rescanning
+// an identical pixel set). out_lognfa[k] = NFA at p / 2^k.
+void rect_nfa_multi(const Rect &r, const Grad &g, double logNT, int nprec,
+                    double *out_lognfa) {
+  int pts = 0;
+  int alg[8] = {0};
   int x0 = (int)std::floor(std::min(std::min(r.x1, r.x2),
                                     r.cx - r.width) - 1);
   int x1 = (int)std::ceil(std::max(std::max(r.x1, r.x2),
@@ -341,16 +410,48 @@ double rect_nfa(const Rect &r, const Grad &g, double logNT) {
   y0 = std::max(y0, 0);
   x1 = std::min(x1, g.w - 1);
   y1 = std::min(y1, g.h - 1);
-  for (int y = y0; y <= y1; ++y)
+  // per-rect invariants of in_rect, hoisted out of the bbox scan (they
+  // were recomputed per pixel); the aligned-angle test likewise becomes
+  // a dot product against the rect axis using the stored unit vectors
+  double hl1 = (r.x1 - r.cx) * r.dx + (r.y1 - r.cy) * r.dy;
+  double hl2 = (r.x2 - r.cx) * r.dx + (r.y2 - r.cy) * r.dy;
+  double lmin = std::min(hl1, hl2) - 0.5, lmax = std::max(hl1, hl2) + 0.5;
+  double wlim = r.width / 2.0 + 0.5;
+  // |wrap(theta - ang)| < prec  <=>  cos(theta - ang) > cos(prec) for
+  // prec in [0, pi] (rect precisions only shrink from ang_th); strict
+  // inequality matches angle_diff's `< r.prec`. Thresholds tighten with
+  // k, so a pixel failing level k fails all finer levels.
+  double cth = std::cos(r.theta), sth = std::sin(r.theta);
+  double cos_prec[8];
+  double pk = r.p;
+  for (int k = 0; k < nprec; ++k, pk /= 2.0) {
+    double prec_k = pk * M_PI;
+    cos_prec[k] = prec_k >= M_PI ? -2.0 : std::cos(prec_k);
+  }
+  for (int y = y0; y <= y1; ++y) {
+    size_t row = (size_t)y * g.w;
     for (int x = x0; x <= x1; ++x) {
-      if (!in_rect(r, x, y)) continue;
+      double ex = x - r.cx, ey = y - r.cy;
+      double l = ex * r.dx + ey * r.dy;
+      if (l < lmin || l > lmax) continue;
+      double wd = -ex * r.dy + ey * r.dx;
+      if (std::fabs(wd) > wlim) continue;
       ++pts;
-      double ang = g.at_ang(x, y);
-      if (ang != kNoAngle &&
-          angle_diff(r.theta, ang) < r.prec)
-        ++alg;
+      size_t a = row + x;
+      if (!g.has[a]) continue;
+      double dot = cth * g.cang[a] + sth * g.sang[a];
+      for (int k = 0; k < nprec && dot > cos_prec[k]; ++k) ++alg[k];
     }
-  return nfa(pts, alg, r.p, logNT);
+  }
+  pk = r.p;
+  for (int k = 0; k < nprec; ++k, pk /= 2.0)
+    out_lognfa[k] = nfa(pts, alg[k], pk, logNT);
+}
+
+double rect_nfa(const Rect &r, const Grad &g, double logNT) {
+  double ln;
+  rect_nfa_multi(r, g, logNT, 1, &ln);
+  return ln;
 }
 
 // Try shrinking/regrowing the region when its density is too low.
@@ -410,18 +511,24 @@ bool refine_region(std::vector<Pt> &region, const Grad &g,
 
 double rect_improve(Rect &rect, const Grad &g, double logNT,
                     double log_eps) {
+  // base NFA first at full speed (most rects pass here and return);
+  // only a failing rect pays the 6-level scan, which still replaces the
+  // original's 5 separate finer-precision rescans with ONE. The
+  // sequential update rule "strictly greater wins, earliest trial on
+  // ties" is preserved.
   double log_nfa = rect_nfa(rect, g, logNT);
   if (log_nfa > log_eps) return log_nfa;
   const double delta = 0.5;
 
-  // try finer precision
-  Rect r = rect;
-  for (int i = 0; i < 5; ++i) {
-    r.p /= 2.0;
-    r.prec = r.p * M_PI;
-    double ln = rect_nfa(r, g, logNT);
-    if (ln > log_nfa) {
-      log_nfa = ln;
+  double ln6[6];
+  rect_nfa_multi(rect, g, logNT, 6, ln6);
+  const Rect orig = rect;
+  for (int k = 1; k < 6; ++k) {
+    if (ln6[k] > log_nfa) {
+      log_nfa = ln6[k];
+      Rect r = orig;
+      for (int i = 0; i < k; ++i) r.p /= 2.0;
+      r.prec = r.p * M_PI;
       rect = r;
     }
   }
@@ -460,14 +567,15 @@ double rect_improve(Rect &rect, const Grad &g, double logNT,
     rr.width -= delta;
   });
   if (log_nfa > log_eps) return log_nfa;
-  // final: even finer precision
-  r = rect;
-  for (int i = 0; i < 5; ++i) {
-    r.p /= 2.0;
-    r.prec = r.p * M_PI;
-    double ln = rect_nfa(r, g, logNT);
-    if (ln > log_nfa) {
-      log_nfa = ln;
+  // final: even finer precision, again one scan for all 5 trials
+  const Rect fin = rect;
+  rect_nfa_multi(fin, g, logNT, 6, ln6);
+  for (int k = 1; k < 6; ++k) {
+    if (ln6[k] > log_nfa) {
+      log_nfa = ln6[k];
+      Rect r = fin;
+      for (int i = 0; i < k; ++i) r.p /= 2.0;
+      r.prec = r.p * M_PI;
       rect = r;
     }
   }
@@ -518,7 +626,7 @@ int lsd_detect(const double *img, int w, int h, double scale,
 
   for (const Pt &seed : ordered) {
     if (used[(size_t)seed.y * g.w + seed.x]) continue;
-    if (g.at_ang(seed.x, seed.y) == kNoAngle) continue;
+    if (!g.has[(size_t)seed.y * g.w + seed.x]) continue;
 
     double reg_angle;
     region_grow(g, used, seed, prec, region, reg_angle);

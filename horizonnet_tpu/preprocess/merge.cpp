@@ -76,29 +76,40 @@ extern "C" {
 int combine_edges_merge_ev(double* lines, int n, int rounds,
                            int* ev_buf, int ev_cap, int* ev_n) {
   if (ev_n) *ev_n = 0;
-  std::vector<double> snap;
+  std::vector<double> sx, sy, sz;  // round-start normals, SoA
+  std::vector<double> pre;
   std::vector<unsigned char> valid;
   std::vector<int> cand;
 
   for (int round = 0; round < rounds; ++round) {
-    snap.assign(3 * n, 0.0);
-    for (int i = 0; i < n; ++i) std::memcpy(&snap[3 * i], lines + 8 * i, 3 * sizeof(double));
+    sx.resize(n);
+    sy.resize(n);
+    sz.resize(n);
+    for (int i = 0; i < n; ++i) {
+      sx[i] = lines[8 * i];
+      sy[i] = lines[8 * i + 1];
+      sz[i] = lines[8 * i + 2];
+    }
     valid.assign(n, 1);
+    pre.resize(n);
 
     for (int i = 0; i < n; ++i) {
       if (!valid[i]) continue;
       double* li = lines + 8 * i;
-      const double* si = &snap[3 * i];
       // Entry-time normal of i gates the 1-degree test for every j in
       // this scan, even as row i mutates below (numpy evaluates `dots`
       // once per i).
       const double ni0 = li[0], ni1 = li[1], ni2 = li[2];
+      // 5-degree prefilter on round-start normals, branch-free over all
+      // j so the compiler vectorizes it (the branchy scalar form was
+      // ~80% of the merge cost); validity/identity filtering and the
+      // exact 1-degree test on current normals follow on the survivors.
+      const double a = sx[i], b = sy[i], c = sz[i];
+      for (int j = 0; j < n; ++j)
+        pre[j] = std::fabs(a * sx[j] + b * sy[j] + c * sz[j]);
       cand.clear();
       for (int j = 0; j < n; ++j) {
-        if (j == i || !valid[j]) continue;
-        const double* sj = &snap[3 * j];
-        if (std::fabs(si[0] * sj[0] + si[1] * sj[1] + si[2] * sj[2]) <= kCos5)
-          continue;
+        if (pre[j] <= kCos5 || j == i || !valid[j]) continue;
         const double* lj = lines + 8 * j;
         if (std::fabs(ni0 * lj[0] + ni1 * lj[1] + ni2 * lj[2]) > kCos1)
           cand.push_back(j);

@@ -32,18 +32,36 @@ def _accept(state, new_best, total, bins):
 
 
 def _search_triples(bins, votes, check1, nonzero, orth_cos, third_cos,
-                    force_unempty):
-    """Orthogonal-triple search: one Python iteration per first
-    direction, the reference's scan order (sphereHoughVote,
-    pano_lsd_align.py:556-607), with the two inner loops collapsed into
-    one [N, K] masked product per outer bin.
+                    force_unempty, use_native=True):
+    """Orthogonal-triple search in the reference's scan order
+    (sphereHoughVote, pano_lsd_align.py:556-607).
+
+    The default engine is C++ (vote.cpp, ~10x: the numpy form below is
+    ~180 outer-bin iterations of small-array overhead on a few Mflop of
+    real work); ``use_native=False`` selects the numpy twin, kept as the
+    readable spec and pinned against the C++ path in tests.
+    """
+    if use_native:
+        from .native import search_triples
+        return search_triples(bins, votes, check1, nonzero, orth_cos,
+                              third_cos, force_unempty)
+    return _search_triples_py(bins, votes, check1, nonzero, orth_cos,
+                              third_cos, force_unempty)
+
+
+def _search_triples_py(bins, votes, check1, nonzero, orth_cos, third_cos,
+                       force_unempty):
+    """Numpy spec of the triple search: one Python iteration per first
+    direction, with the two inner loops collapsed into one [N, K]
+    masked product per outer bin.
 
     Measured note: a further chunk-vectorization over the outer bins
     (one [N, P] product for many b1 at once + sequential acceptance
     replay) was built and benchmarked SLOWER on real panos (60-105 vs
     44-56 ms per find_main_direction call) — per-b1 [N, K] blocks stay
     cache-resident while pair-chunk blocks don't, and BLAS gains nothing
-    past these sizes — so this per-b1 form is the implementation.
+    past these sizes — so this per-b1 form was the implementation until
+    the C++ engine (vote.cpp) replaced both.
     """
     gram = bins @ bins.T
     state = ((0, 0, 0), 0.0, 0, 0)

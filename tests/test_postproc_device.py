@@ -44,6 +44,56 @@ def test_vote_sorted_matches_host():
         assert abs(got[2] - want[2]) < 1e-3 * max(1, scale), trial
 
 
+def test_segment_votes_grouped_matches_padded_rows():
+    """_segment_votes (one (segment, value) lexsort over the columns)
+    must reproduce the padded-row formulation — vote_sorted over
+    [B, n_seg, 2, W] masked rows, the pre-round-5 implementation —
+    exactly, including empty segments, median fallbacks and the
+    plain segment means."""
+    from horizonnet_tpu.postproc.device import \
+        _segment_votes_grouped as _segment_votes
+
+    rng = np.random.default_rng(42)
+    B, Wt, n_seg = 3, 256, 8
+    for trial in range(4):
+        # clustered wall-ish values with outliers, random segment sizes
+        # (some empty), and per-pano tolerances spanning both vote modes
+        xy = rng.normal(0, rng.uniform(1, 30), (B, Wt, 2))
+        centers = rng.normal(0, 20, (B, n_seg, 2))
+        cuts = np.sort(rng.choice(Wt, (B, n_seg - 1), replace=True), -1)
+        gpid = np.zeros((B, Wt), np.int32)
+        for b in range(B):
+            gpid[b] = np.searchsorted(cuts[b], np.arange(Wt), "right")
+            take = rng.uniform(0, 1, Wt) < 0.8
+            xy[b, take] = centers[b, gpid[b, take]] \
+                + rng.normal(0, 0.3, (take.sum(), 2))
+        tol = rng.uniform(0.5, 8.0, B).astype(np.float32)
+
+        got = _segment_votes(jnp.asarray(xy, jnp.float32),
+                             jnp.asarray(gpid), jnp.asarray(tol), n_seg)
+
+        # padded-row reference formulation
+        seg_mask = gpid[:, None, :] == np.arange(n_seg)[None, :, None]
+        vals_ax = np.transpose(xy, (0, 2, 1)).astype(np.float32)
+        masked = np.where(seg_mask[:, :, None, :], vals_ax[:, None],
+                          np.inf)
+        svals = np.sort(masked, -1)
+        m = np.broadcast_to(seg_mask.sum(-1)[..., None], (B, n_seg, 2))
+        fit, sc, l1 = vote_sorted(
+            jnp.asarray(svals), jnp.asarray(m),
+            jnp.broadcast_to(jnp.asarray(tol)[:, None, None],
+                             (B, n_seg, 2)))
+        seg_sum = np.where(seg_mask[:, :, None, :], vals_ax[:, None],
+                           0.0).sum(-1)
+        mean = seg_sum / np.maximum(m, 1)
+
+        for name, a, b in zip(("fit", "score", "l1", "mean"), got,
+                              (fit, sc, l1, mean)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-4,
+                                       err_msg=f"{name} trial {trial}")
+
+
 def test_vote_sorted_median_fallback():
     # Spread beyond tol -> median, score 0 (host semantics)
     vec = np.array([0.0, 100.0, 200.0])

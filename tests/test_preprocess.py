@@ -173,6 +173,40 @@ def test_hough_triple_search_invariants():
             assert abs(bins[b3] @ cr) > third_cos
 
 
+def test_hough_triple_search_native_matches_python():
+    """The C++ triple search (vote.cpp, the pipeline default) must
+    reproduce the numpy spec exactly: winning triple, vote total, and
+    the _accept last_cost/last_angle bookkeeping, under ties, zero
+    votes, and both force_unempty modes."""
+    from horizonnet_tpu.preprocess.vanishing import _search_triples_py
+    from horizonnet_tpu.preprocess.native import search_triples
+
+    rng = np.random.default_rng(0)
+    orth_cos = np.cos((90 - 2) * np.pi / 180)
+    third_cos = np.cos(2 * np.pi / 180)
+    for trial in range(6):
+        n = int(rng.integers(50, 400))
+        bins = rng.normal(size=(n, 3))
+        bins /= np.linalg.norm(bins, axis=1, keepdims=True)
+        # quantized votes force exact ties; the zero fraction exercises
+        # force_unempty filtering and the all-rejected early-continue
+        votes = np.where(rng.uniform(size=n) < 0.8,
+                         rng.integers(0, 8, n).astype(np.float64), 0.0)
+        check1 = rng.permutation(n)[:n // 2].astype(np.int32)
+        force = trial % 2 == 0
+        nonzero = votes > 0 if force else np.ones(n, bool)
+        a = _search_triples_py(bins, votes, check1, nonzero, orth_cos,
+                               third_cos, force)
+        b = search_triples(bins, votes, check1, nonzero, orth_cos,
+                           third_cos, force)
+        assert a[0] == b[0], (trial, a[0], b[0])
+        assert np.isclose(a[1], b[1]), (a[1], b[1])
+        np.testing.assert_allclose(np.asarray(a[2], float),
+                                   np.asarray(b[2], float))
+        np.testing.assert_allclose(np.asarray(a[3], float),
+                                   np.asarray(b[3], float))
+
+
 def test_combine_edges_native_matches_python():
     """The C++ merge rounds (merge.cpp) must reproduce the numpy spec:
     same surviving rows, same order, same float64 values to rounding.
