@@ -19,9 +19,14 @@ from horizonnet_tpu.models.torch_convert import torch_state_to_variables  # noqa
 
 
 @pytest.mark.slow
-def test_full_forward_parity_resnet50():
+@pytest.mark.parametrize("backbone,use_rnn", [
+    ("resnet50", True),      # the flagship published architecture
+    ("densenet121", True),   # the torchvision-quirk encoder family
+    ("resnet50", False),     # the no-RNN head (model.py:235-243)
+])
+def test_full_forward_parity(backbone, use_rnn):
     torch.manual_seed(0)
-    replica = small_init_(TorchHorizonNetReplica()).eval()
+    replica = small_init_(TorchHorizonNetReplica(backbone, use_rnn)).eval()
     x = np.random.default_rng(0).uniform(0, 1, (1, 512, 1024, 3)) \
         .astype(np.float32)
 
@@ -29,8 +34,8 @@ def test_full_forward_parity_resnet50():
         bon_t, cor_t = replica(torch.from_numpy(x.transpose(0, 3, 1, 2)))
 
     sd = {k: v.detach().numpy() for k, v in replica.state_dict().items()}
-    variables = torch_state_to_variables(sd, "resnet50", use_rnn=True)
-    model = build_model("resnet50", use_rnn=True)
+    variables = torch_state_to_variables(sd, backbone, use_rnn=use_rnn)
+    model = build_model(backbone, use_rnn=use_rnn)
     bon_j, cor_j = model.apply(variables, jnp.asarray(x), train=False)
 
     np.testing.assert_allclose(np.asarray(bon_j), bon_t.numpy(),

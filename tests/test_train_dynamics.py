@@ -38,8 +38,7 @@ N_VAL = 8
 THRESHOLD = float(os.environ.get("DYN_THRESHOLD", 0.15))
 
 
-@pytest.mark.slow
-def test_training_from_scratch_reaches_3diou():
+def _run_dynamics(steps, threshold):
     import jax
     import jax.numpy as jnp
 
@@ -60,14 +59,14 @@ def test_training_from_scratch_reaches_3diou():
     variables = init_model(model, jax.random.PRNGKey(SEED), (1, H, W, 3))
     tx = make_optimizer("Adam", warmup_poly_schedule(
         float(os.environ.get("DYN_LR", 3e-4)),
-        max_iters=STEPS, warmup_iters=max(1, STEPS // 6)))
+        max_iters=steps, warmup_iters=max(1, steps // 6)))
     state = create_train_state(model, variables, tx)
     engine = TrainEngine(model, state, batch_size=BS, H=H, W=W)
 
     xs = [jnp.asarray(d[0], jnp.float32) / 255.0 for d in data]
     jrng = jax.random.PRNGKey(SEED)
     early, late = [], []
-    for it in range(STEPS):
+    for it in range(steps):
         k = it % N_BATCHES
         jrng, srng = jax.random.split(jrng)
         m = engine.step(xs[k], data[k][1], data[k][2], srng)
@@ -95,8 +94,27 @@ def test_training_from_scratch_reaches_3diou():
                      gt_cor * [1024 / W, 512 / H], 1024, 512, losses)
 
     iou3d = float(np.mean(losses["overall"]["3DIoU"]))
-    print(f"train-dynamics: {STEPS} steps -> held-out raw 3DIoU "
-          f"{iou3d:.3f} (threshold {THRESHOLD})")
-    assert iou3d >= THRESHOLD, (
+    print(f"train-dynamics: {steps} steps -> held-out raw 3DIoU "
+          f"{iou3d:.3f} (threshold {threshold})")
+    assert iou3d >= threshold, (
         f"training dynamics regressed: held-out 3DIoU {iou3d:.3f} < "
-        f"{THRESHOLD} after {STEPS} steps")
+        f"{threshold} after {steps} steps")
+
+
+@pytest.mark.slow
+def test_training_from_scratch_reaches_3diou():
+    _run_dynamics(STEPS, THRESHOLD)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("DYN_LONG"),
+                    reason="long tier: set DYN_LONG=1 (~16 min on 1 core)")
+def test_training_from_scratch_long_tier():
+    """Stricter pin (round-4 verdict #8): 150 steps -> 0.15 catches
+    "optimizer broken", not "optimizer degraded" — a ~2x LR error or a
+    subtly wrong BN update can still clear it. 400 steps must reach
+    0.25 (run green on this stack 2026-08-19: 0.297, 19 min on one
+    throttled core). Env-gated so the default slow tier's runtime is
+    unchanged; CI can opt in with DYN_LONG=1."""
+    _run_dynamics(int(os.environ.get("DYN_LONG_STEPS", 400)),
+                  float(os.environ.get("DYN_LONG_THRESHOLD", 0.25)))

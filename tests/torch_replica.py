@@ -80,6 +80,78 @@ class ResNet50Encoder(nn.Module):
         return feats
 
 
+class DenseLayerT(nn.Module):
+    """torchvision densenet layer: norm1/conv1(1x1)/norm2/conv2(3x3 wrap)."""
+
+    def __init__(self, cin, growth=32, bn_size=4):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, bn_size * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(bn_size * growth)
+        self.conv2 = wrap_conv(bn_size * growth, growth, 3)
+
+    def forward(self, x):
+        out = self.conv1(F.relu(self.norm1(x)))
+        out = self.conv2(F.relu(self.norm2(out)))
+        return torch.cat([x, out], 1)
+
+
+class DenseBlockT(nn.Module):
+    def __init__(self, cin, n_layers, growth=32):
+        super().__init__()
+        for li in range(n_layers):
+            self.add_module(f"denselayer{li+1}",
+                            DenseLayerT(cin + li * growth, growth))
+
+    def forward(self, x):
+        for m in self.children():
+            x = m(x)
+        return x
+
+
+class TransitionT(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm = nn.BatchNorm2d(cin)
+        self.conv = nn.Conv2d(cin, cout, 1, bias=False)
+        self.pool = nn.AvgPool2d(2, 2)
+
+    def forward(self, x):
+        return self.pool(self.conv(F.relu(self.norm(x))))
+
+
+class DenseNet121Encoder(nn.Module):
+    """torchvision densenet121.features layout (keys: features.conv0 etc.);
+    the reference taps children 4, 6, 8 and relu(norm5(child 10))
+    (model.py:102-108)."""
+
+    def __init__(self):
+        super().__init__()
+        from collections import OrderedDict
+        growth, blocks, init = 32, (6, 12, 24, 16), 64
+        feats = OrderedDict()
+        feats["conv0"] = wrap_conv(3, init, 7, 2)
+        feats["norm0"] = nn.BatchNorm2d(init)
+        feats["relu0"] = nn.ReLU(inplace=True)
+        feats["pool0"] = nn.MaxPool2d(3, 2, 1)
+        c = init
+        for bi, n in enumerate(blocks):
+            feats[f"denseblock{bi+1}"] = DenseBlockT(c, n, growth)
+            c += n * growth
+            if bi < len(blocks) - 1:
+                feats[f"transition{bi+1}"] = TransitionT(c, c // 2)
+                c //= 2
+        feats["norm5"] = nn.BatchNorm2d(c)
+        self.features = nn.Sequential(feats)
+
+    def forward(self, x):
+        lst = []
+        for m in self.features.children():
+            x = m(x)
+            lst.append(x)
+        return [lst[4], lst[6], lst[8], F.relu(lst[11])]
+
+
 class CCH(nn.Module):
     """Height-halving conv block; attr name 'layers' matches the reference
     ConvCompressH so state_dict keys line up."""
@@ -119,27 +191,43 @@ class TorchHorizonNetReplica(nn.Module):
     x_mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
     x_std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
 
-    def __init__(self):
+    def __init__(self, backbone="resnet50", use_rnn=True):
         super().__init__()
+        self.use_rnn = use_rnn
+        if backbone == "resnet50":
+            enc, chans = ResNet50Encoder, (256, 512, 1024, 2048)
+        elif backbone == "densenet121":
+            enc, chans = DenseNet121Encoder, (256, 512, 1024, 1024)
+        else:
+            raise ValueError(backbone)
 
         class _FE(nn.Module):
             def __init__(self):
                 super().__init__()
-                self.encoder = ResNet50Encoder()
+                self.encoder = enc()
 
         class _RH(nn.Module):
             def __init__(self):
                 super().__init__()
-                self.ghc_lst = nn.ModuleList([
-                    GHC(256, 32), GHC(512, 64), GHC(1024, 128),
-                    GHC(2048, 256)])
+                self.ghc_lst = nn.ModuleList(
+                    [GHC(c, c // 8) for c in chans])
 
         self.feature_extractor = _FE()
         self.reduce_height_module = _RH()
-        self.bi_rnn = nn.LSTM(input_size=1024, hidden_size=512, num_layers=2,
-                              dropout=0.5, bidirectional=True)
-        self.drop_out = nn.Dropout(0.5)
-        self.linear = nn.Linear(1024, 12)
+        # c_last per model.py:212-215: (c1*8 + c2*4 + c3*2 + c4) / 8
+        c1, c2, c3, c4 = chans
+        c_last = (c1 * 8 + c2 * 4 + c3 * 2 + c4) // 8
+        if use_rnn:
+            self.bi_rnn = nn.LSTM(input_size=c_last, hidden_size=512,
+                                  num_layers=2, dropout=0.5,
+                                  bidirectional=True)
+            self.drop_out = nn.Dropout(0.5)
+            self.linear = nn.Linear(1024, 12)
+        else:
+            # no-RNN head (model.py:235-243): keys linear.0 / linear.3
+            self.linear = nn.Sequential(
+                nn.Linear(c_last, 512), nn.ReLU(inplace=True),
+                nn.Dropout(0.5), nn.Linear(512, 12))
 
     def forward(self, x):
         x = (x - self.x_mean) / self.x_std
@@ -147,12 +235,18 @@ class TorchHorizonNetReplica(nn.Module):
         out_w = x.shape[3] // 4
         cols = [g(f, out_w).reshape(x.shape[0], -1, out_w)
                 for g, f in zip(self.reduce_height_module.ghc_lst, feats)]
-        feature = torch.cat(cols, dim=1)           # [B, 1024, out_w]
-        seq = feature.permute(2, 0, 1)             # [W', B, C]
-        out, _ = self.bi_rnn(seq)
-        out = self.linear(out)                     # [W', B, 12]
-        out = out.view(out.shape[0], out.shape[1], 3, 4)
-        out = out.permute(1, 2, 0, 3).reshape(x.shape[0], 3, -1)
+        feature = torch.cat(cols, dim=1)           # [B, c_last, out_w]
+        if self.use_rnn:
+            seq = feature.permute(2, 0, 1)         # [W', B, C]
+            out, _ = self.bi_rnn(seq)
+            out = self.linear(out)                 # [W', B, 12]
+            out = out.view(out.shape[0], out.shape[1], 3, 4)
+            out = out.permute(1, 2, 0, 3).reshape(x.shape[0], 3, -1)
+        else:
+            seq = feature.permute(0, 2, 1)         # [B, W', C]
+            out = self.linear(seq)                 # [B, W', 12]
+            out = out.view(out.shape[0], out.shape[1], 3, 4)
+            out = out.permute(0, 2, 1, 3).reshape(x.shape[0], 3, -1)
         return out[:, 1:], out[:, :1]              # bon, cor
 
 
