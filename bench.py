@@ -256,6 +256,21 @@ def main():
     _force(outs[-1])
     device_pps = n_dev * B / (time.time() - t0)
 
+    # Serving MFU: XLA's own flop count of the compiled program (wire
+    # decode + forward + fused postproc) against the chip's bf16 peak.
+    # v5e: 394 TOPS int8 -> 197 TFLOPs bf16 (public spec).
+    serving_mfu = flops_per_pano = None
+    try:
+        ca = engine.compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            flops_per_pano = flops / B
+            serving_mfu = round(
+                100.0 * flops * (device_pps / B) / 197e12, 1)
+    except Exception:
+        pass
+
     # The BASELINE.json end-to-end metric: raw pano -> VP align -> infer,
     # pipelined the way a production ingester would run it: a host
     # thread pool VP-aligns panos (pure host work since round 4 —
@@ -366,6 +381,9 @@ def main():
         "reps_spread_pct": spread_pct,
         "best_panos_per_sec": round(max(reps), 2),
         "device_panos_per_sec": round(device_pps, 2),
+        "serving_mfu_pct": serving_mfu,
+        "fwd_gflops_per_pano": (round(flops_per_pano / 1e9, 1)
+                                if flops_per_pano else None),
         "e2e_panos_per_sec": (round(e2e_pps, 2)
                               if e2e_pps is not None else None),
         "e2e_vs_baseline": e2e_vs_baseline,

@@ -67,7 +67,8 @@ def test_bench_helpers_match_engine_contract():
     for field in ("best_panos_per_sec", "warmup_rep_panos_per_sec",
                   "reps_spread_pct", "e2e_vs_baseline",
                   "e2e_vs_baseline_gpu_adj", "ref_e2e_panos_per_sec",
-                  "ref_e2e_gpu_adj_panos_per_sec"):
+                  "ref_e2e_gpu_adj_panos_per_sec", "serving_mfu_pct",
+                  "fwd_gflops_per_pano"):
         assert field in src, field
 
 
