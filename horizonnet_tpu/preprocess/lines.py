@@ -184,6 +184,64 @@ def _merge_rounds_py(ori_lines, events=None):
     return lines
 
 
+_NEAR_SAMPLES = 100
+
+
+def _segment_endpoints_xyz(lines):
+    """Unit xyz of each line's (start, end) uv endpoint. -> ([N,3], [N,3])."""
+    u = np.stack([lines[:, 4], lines[:, 5]], -1).reshape(-1, 1) \
+        * 2 * np.pi - np.pi
+    v = computeUVN_vec(lines[:, :3], u, lines[:, 3])
+    xyz = uv2xyzN_vec(np.hstack([u, v]), np.repeat(lines[:, 3], 2))
+    return xyz[0::2], xyz[1::2]
+
+
+def _near_vp_any_sampled(starts, ends, vp, cos_thresh, n_sample):
+    """Test oracle: materialize the n_sample chord points, normalize,
+    and test |dot| > cos_thresh — the reference's literal formulation
+    (pano_lsd_align.py:726-735). Kept only to pin the closed form below."""
+    t = np.linspace(0, 1, n_sample)
+    samples = starts[:, None, :] * (1 - t[None, :, None]) \
+        + ends[:, None, :] * t[None, :, None]
+    samples /= np.linalg.norm(samples, axis=-1, keepdims=True)
+    return (np.abs(samples @ vp.T) > cos_thresh).any(1)      # [N,V]
+
+
+def _near_vp_any(starts, ends, vp, cos_thresh, n_sample=_NEAR_SAMPLES):
+    """"Any of n_sample chord points within acos(cos_thresh) of a VP",
+    without the [N, S, 3] sample tensor.
+
+    The chord point is p(t) = (1-t)a + t b; the test
+    |dot(p/|p|, v)| > c  <=>  f(t) = dot(p,v)^2 - c^2 |p|^2 > 0, and f is
+    a plain quadratic in t (a, b unit => |p|^2 = 1 - 2(1-m) t(1-t) with
+    m = dot(a,b)). Over the reference's uniform t-grid, f's maximum sits
+    at t=0, t=1, or (when the quadratic is concave) at one of the two
+    grid neighbours of the vertex — so evaluating f at those <=4 grid
+    points reproduces the 100-sample test exactly, 100x fewer ops.
+    Equality with the sampled oracle is pinned in tests/test_preprocess.
+    """
+    da = starts @ vp.T                                    # [N,V]
+    db = ends @ vp.T
+    m = np.sum(starts * ends, 1)                          # [N]
+    c2 = cos_thresh * cos_thresh
+    w = 2.0 * c2 * (1.0 - m)[:, None]                     # c^2*(|p|^2 quad)
+    d = db - da
+    A = d * d - w
+    B = 2.0 * da * d + w
+    C = da * da - c2
+    # grid neighbours of the vertex, only meaningful where A < 0 (concave)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tv = -B / (2.0 * A)
+    k = np.clip(np.floor(np.nan_to_num(tv) * (n_sample - 1)),
+                0, n_sample - 2)
+    concave = A < 0
+    t2 = np.where(concave, k / (n_sample - 1), 0.0)
+    t3 = np.where(concave, (k + 1) / (n_sample - 1), 0.0)
+    ts = np.stack([np.zeros_like(tv), np.ones_like(tv), t2, t3], -1)
+    f = (A[..., None] * ts + B[..., None]) * ts + C[..., None]
+    return (f > 0).any(-1)                                    # [N,V]
+
+
 def assign_vanishing_type(lines, vp, tol, area=10):
     """Assign each line to the nearest VP (or none).
 
@@ -197,22 +255,10 @@ def assign_vanishing_type(lines, vp, tol, area=10):
     cost = np.arcsin(np.clip(np.abs(cosint), -1, 1))
 
     if n_line:
-        u = np.stack([lines[:, 4], lines[:, 5]], -1).reshape(-1, 1) \
-            * 2 * np.pi - np.pi
-        v = computeUVN_vec(lines[:, :3], u, lines[:, 3])
-        xyz = uv2xyzN_vec(np.hstack([u, v]), np.repeat(lines[:, 3], 2))
-        # 100 samples along each segment
-        t = np.linspace(0, 1, 100)
-        starts = xyz[0::2]
-        ends = xyz[1::2]
-        samples = starts[:, None, :] * (1 - t[None, :, None]) \
-            + ends[:, None, :] * t[None, :, None]
-        samples /= np.linalg.norm(samples, axis=-1, keepdims=True)
-        # "any sample within `area` degrees of the VP": arccos is strictly
-        # decreasing, so ang < thresh == |dot| > cos(thresh) — same
-        # booleans without an arccos over [N, S, V], one matmul for all VPs
-        near = np.abs(samples @ vp.T) > np.cos(area * np.pi / 180)
-        cost[near.any(1)] = 100
+        starts, ends = _segment_endpoints_xyz(lines)
+        near = _near_vp_any(starts, ends, vp,
+                            np.cos(area * np.pi / 180))
+        cost[near] = 100
 
     best = cost.min(1)
     tp = cost.argmin(1)

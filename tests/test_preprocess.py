@@ -428,3 +428,25 @@ def test_rotate_panorama_z_rotation_is_column_roll():
     err_pos = np.abs(out - rolled).mean()
     err_neg = np.abs(out - np.roll(img, k, axis=1)).mean()
     assert min(err_pos, err_neg) < 5e-4, (err_pos, err_neg)
+
+
+def test_near_vp_closed_form_matches_sampled_oracle():
+    """The quadratic closed form behind assign_vanishing_type must
+    reproduce the reference's 100-chord-sample near-VP booleans exactly
+    (pano_lsd_align.py:726-735); the oracle materializes the samples."""
+    from horizonnet_tpu.preprocess.lines import (_near_vp_any,
+                                                 _near_vp_any_sampled)
+    rng = np.random.default_rng(3)
+    for _ in range(30):
+        n = int(rng.integers(1, 300))
+        a = rng.normal(size=(n, 3))
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        # mixture of short arcs and near-antipodal chords
+        b = a + rng.uniform(0.05, 1.8) * rng.normal(size=(n, 3))
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        vp = rng.normal(size=(3, 3))
+        vp /= np.linalg.norm(vp, axis=1, keepdims=True)
+        c = np.cos(np.deg2rad(rng.uniform(1.0, 45.0)))
+        np.testing.assert_array_equal(
+            _near_vp_any(a, b, vp, c, 100),
+            _near_vp_any_sampled(a, b, vp, c, 100))
