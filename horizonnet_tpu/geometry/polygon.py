@@ -100,6 +100,32 @@ def polygon_is_valid(pts):
     return not bool(hits.any())
 
 
+def polygon_is_valid_batch(pts):
+    """Vectorized ``polygon_is_valid`` over a [G, n, 2] stack of
+    equal-length rings. Returns [G] bool. Same decision as the scalar
+    form (the cross products and thresholds are elementwise-identical);
+    used by the serving host tail to validate a whole batch of
+    general-layout plans at once (postproc/serving.py).
+    """
+    pts = np.asarray(pts, np.float64)
+    G, n = pts.shape[:2]
+    if n < 3:
+        return np.zeros(G, bool)
+    x, y = pts[..., 0], pts[..., 1]
+    x2 = np.roll(x, -1, axis=1)
+    y2 = np.roll(y, -1, axis=1)
+    ok = 0.5 * np.abs((x * y2 - y * x2).sum(-1)) > _EPS
+    a0, a1 = pts, np.roll(pts, -1, axis=1)
+    i, j = np.triu_indices(n, k=2)
+    keep = ~((i == 0) & (j == n - 1))
+    i, j = i[keep], j[keep]
+    if len(i):
+        hits = point_segments_intersect(a0[:, i], a1[:, i],
+                                        a0[:, j], a1[:, j])
+        ok &= ~hits.any(-1)
+    return ok
+
+
 def _clip_convex(subject, cx0, cx1):
     """Sutherland-Hodgman: clip polygon ``subject`` by the half-plane to the
     left of directed edge (cx0 -> cx1). Returns (M, 2) array (possibly empty).

@@ -165,9 +165,15 @@ class InferenceEngine:
                 # General (non-cuboid) serving: peaks + projection +
                 # per-segment votes fused on device; the host runs only
                 # the tiny greedy commitment on the ~1.3 KB candidate
-                # summary (postproc/serving.py finish_general_batch)
-                from .postproc.device import postprocess_general_batch
-                return postprocess_general_batch(bon, cor[:, 0], H, W)
+                # summary (postproc/serving.py finish_general_batch).
+                # The summary crosses back as ONE packed array — the
+                # remote transport charges fixed latency per fetched
+                # array, and 7 separate fetches measured slower than the
+                # device program itself (pack_general_outputs docstring)
+                from .postproc.device import (pack_general_outputs,
+                                              postprocess_general_batch)
+                return pack_general_outputs(
+                    postprocess_general_batch(bon, cor[:, 0], H, W))
             elif postproc is not None:
                 raise ValueError(f"unknown postproc mode {postproc!r}")
             return bon, cor
@@ -214,8 +220,9 @@ class InferenceEngine:
         Returns device arrays WITHOUT blocking — call np.asarray on the
         results to synchronize. The result depends on the postproc mode:
         (bon [B,2,W], cor_prob [B,1,W]) by default, (cor_id [B,8,2]
-        normalized uv, z1 [B]) with postproc="cuboid", or the candidate
-        tuple for postproc.finish_general_batch with postproc="general"."""
+        normalized uv, z1 [B]) with postproc="cuboid", or the packed
+        candidate array for postproc.finish_general_batch with
+        postproc="general"."""
         return self.run(self.put(x))
 
     def update_variables(self, variables):

@@ -336,6 +336,26 @@ def postprocess_cuboid_batch(y_bon, y_cor, H=512, W=1024, z0=50.0, r=0.05):
     return cor_id, z1
 
 
+def pack_general_outputs(outs):
+    """Concatenate the general candidate summary into ONE [B, 9K+17] f32
+    array (K = max_peaks).
+
+    The serving engine ships this instead of the 7-leaf tuple because the
+    remote host<->device transport charges a fixed per-array latency on
+    EVERY fetch: at batch 64 the 7 separate ``np.asarray`` fetches cost
+    more wall time than the device program itself (round-5 measurement —
+    general-mode serving was 364 ms/batch against a 119 ms device
+    program). All components are exactly representable in f32 (peak
+    columns <= W+1 << 2**24). Host twin: serving.unpack_general_outputs.
+    """
+    locs, fit, sc, l1, mean, z1, cub = outs
+    B = locs.shape[0]
+    return jnp.concatenate(
+        [locs.astype(jnp.float32), fit.reshape(B, -1), sc.reshape(B, -1),
+         l1.reshape(B, -1), mean.reshape(B, -1),
+         z1.reshape(B, 1).astype(jnp.float32), cub.reshape(B, -1)], axis=-1)
+
+
 def postprocess_general_batch(y_bon, y_cor, H=512, W=1024, z0=50.0,
                               r=0.05, min_v=0.05, max_peaks=32):
     """Device half of the general-layout (non-cuboid) serving postproc.

@@ -18,7 +18,7 @@ import sys
 import numpy as np
 
 from ..geometry.equirect import coorx2u, infer_coory, xy2coor
-from ..geometry.polygon import polygon_is_valid
+from ..geometry.polygon import polygon_is_valid, polygon_is_valid_batch
 from .manhattan import Wall, _GreedyRing
 
 
@@ -91,10 +91,115 @@ def general_from_candidates(locs, fit, score, l1, mean, z1, cuboid_cor_id,
     return cor_id, z0, z1
 
 
+def unpack_general_outputs(packed):
+    """Host twin of device.pack_general_outputs: ONE [B, 9K+17] f32 array
+    -> (locs, fit, score, l1, mean, z1, cuboid_cor_id). K is inferred
+    from the width. One np.asarray = one device->host fetch (the remote
+    transport charges fixed latency per fetched array)."""
+    packed = np.asarray(packed, np.float32)
+    B, D = packed.shape
+    K = (D - 17) // 9
+    assert 9 * K + 17 == D, D
+    locs = packed[:, :K].astype(np.int32)
+    o = K
+    planes = []
+    for _ in range(4):                       # fit, score, l1, mean
+        planes.append(packed[:, o:o + 2 * K].reshape(B, K, 2))
+        o += 2 * K
+    z1 = packed[:, o]
+    cub = packed[:, o + 1:].reshape(B, 8, 2)
+    return (locs, *planes, z1, cub)
+
+
+def _finish_alternating_group(bs, nb, axis, fit, z1, cub, coorW, coorH,
+                              z0, results):
+    """Vectorized tail for a group of panos sharing wall count ``nb``
+    whose candidate axes already alternate around the ring.
+
+    For an alternating even ring the greedy commitment is the identity
+    (no DEFER/INSERT/RESOLVE move ever fires — every committed neighbor
+    has the opposite axis), so the whole tail reduces to elementwise
+    numpy over the group: xy-plan assembly, the validity check, and the
+    corner back-projection — the exact computations the scalar path
+    performs, batched. Results are bit-identical to
+    general_from_candidates (same dtypes, same op order per element).
+    """
+    G = len(bs)
+    ax = axis[bs, :nb]                                       # [G, nb]
+    val = np.take_along_axis(fit[bs, :nb].astype(np.float64),
+                             ax[..., None], -1)[..., 0]      # [G, nb] f64
+
+    # Plan ring (float32, as the scalar path builds it) + validity
+    gi = np.arange(G)[:, None]
+    wi = np.arange(nb)[None, :]
+    xy2d = np.zeros((G, nb, 2), np.float32)
+    xy2d[gi, wi, ax] = val
+    xy2d[gi, wi, 1 - ax] = np.roll(val, 1, axis=1)           # walls[i-1]
+    ok = polygon_is_valid_batch(xy2d)
+
+    # Corner back-projection (corners_from_walls, batched)
+    val_n = np.roll(val, -1, axis=1)                         # walls[j+1]
+    corx = np.where(ax == 1, val_n, val)
+    cory = np.where(ax == 1, val, val_n)
+    cor = xy2coor(np.stack([corx, cory], -1), z0, coorW, coorH)
+    shift = cor[:, ::2, 0].argmin(axis=1)
+    order = (wi + 2 * shift[:, None]) % nb
+    cor = np.take_along_axis(cor, order[..., None], axis=1)
+    z1g = z1[bs].astype(np.float64)
+    fy = infer_coory(cor[..., 1], z1g[:, None] - z0, z0, coorH=coorH)
+    cor_id = np.zeros((G, nb * 2, 2), np.float32)
+    cor_id[:, 0::2] = cor
+    cor_id[:, 1::2, 0] = cor[..., 0]
+    cor_id[:, 1::2, 1] = fy
+    cor_id[..., 0] /= coorW
+    cor_id[..., 1] /= coorH
+
+    for g, b in enumerate(bs):
+        if ok[g]:
+            results[b] = (cor_id[g], z0, float(z1g[g]))
+        else:
+            print("Fail to generate valid general layout!! "
+                  "Generate cuboid as fallback.", file=sys.stderr)
+            results[b] = (np.asarray(cub[b]), z0, float(z1g[g]))
+
+
 def finish_general_batch(outputs, coorW=1024, coorH=512, z0=50.0):
-    """Batch tail: device output tuple -> list of (cor_id, z0, z1)."""
-    locs, fit, score, l1, mean, z1, cub = (np.asarray(a) for a in outputs)
-    return [general_from_candidates(locs[b], fit[b], score[b], l1[b],
-                                    mean[b], z1[b], cub[b], coorW, coorH,
-                                    z0)
-            for b in range(len(locs))]
+    """Batch tail: device output (packed [B, 9K+17] array, or the
+    7-leaf tuple postprocess_general_batch returns) -> list of
+    (cor_id, z0, z1).
+
+    Panos whose candidate axes already alternate (the common Manhattan
+    case — the greedy ring is the identity on them) are finished in one
+    vectorized numpy pass per wall-count group; the rest take the exact
+    scalar greedy. At batch 64 this tail runs inline in the serving
+    loop's host thread, so its cost trades 1:1 against panos/sec.
+    """
+    if isinstance(outputs, (tuple, list)):
+        locs, fit, score, l1, mean, z1, cub = (np.asarray(a)
+                                               for a in outputs)
+    else:
+        locs, fit, score, l1, mean, z1, cub = unpack_general_outputs(
+            outputs)
+    B = len(locs)
+    n = (locs >= 0).sum(-1)                                  # valid peaks
+    # Axis pick, host tuple-compare semantics (_segment_candidate)
+    pick_x = (score[..., 0] > score[..., 1]) | (
+        (score[..., 0] == score[..., 1]) & (l1[..., 0] < l1[..., 1]))
+    axis = np.where(pick_x, 0, 1)
+
+    results = [None] * B
+    groups = {}
+    for b in range(B):
+        nb = int(n[b])
+        if nb >= 4 and nb % 2 == 0:
+            ax = axis[b, :nb]
+            if np.all(ax != np.roll(ax, 1)):
+                groups.setdefault(nb, []).append(b)
+                continue
+        results[b] = general_from_candidates(
+            locs[b], fit[b], score[b], l1[b], mean[b], z1[b], cub[b],
+            coorW, coorH, z0)
+    for nb, bs in groups.items():
+        _finish_alternating_group(np.asarray(bs), nb, axis, fit, z1, cub,
+                                  coorW, coorH, z0, results)
+    return results

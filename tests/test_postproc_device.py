@@ -230,6 +230,62 @@ def test_postprocess_general_batch_matches_host():
             b, np.abs(cor_id_d - cor_id).max())
 
 
+def test_pack_general_outputs_roundtrip():
+    """Packed single-array wire == the 7-leaf tuple, leaf for leaf, and
+    finish_general_batch accepts either form identically."""
+    from horizonnet_tpu.postproc import (postprocess_general_batch,
+                                         pack_general_outputs,
+                                         unpack_general_outputs,
+                                         finish_general_batch)
+
+    rng = np.random.default_rng(7)
+    raws = [_synthetic_general_raw(rng) for _ in range(3)]
+    y_bon = jnp.asarray(np.stack([r[0] for r in raws]), jnp.float32)
+    y_cor = jnp.asarray(np.stack([r[1] for r in raws]), jnp.float32)
+
+    outs = postprocess_general_batch(y_bon, y_cor, H, W)
+    packed = pack_general_outputs(outs)
+    assert packed.shape == (3, 9 * 32 + 17)
+    unpacked = unpack_general_outputs(packed)
+    assert unpacked[0].dtype == np.int32
+    for a, b in zip(unpacked, outs):
+        assert np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(b, np.float32))
+
+    r_tuple = finish_general_batch(outs, W, H)
+    r_packed = finish_general_batch(packed, W, H)
+    for (ca, za0, za1), (cb, zb0, zb1) in zip(r_tuple, r_packed):
+        assert np.array_equal(ca, cb) and za0 == zb0 and za1 == zb1
+
+
+def test_finish_general_fast_path_matches_scalar():
+    """The vectorized alternating-axes tail == the scalar greedy path,
+    bit for bit (same dtypes, same op order per element)."""
+    from horizonnet_tpu.postproc import (postprocess_general_batch,
+                                         finish_general_batch)
+    from horizonnet_tpu.postproc.serving import general_from_candidates
+
+    rng = np.random.default_rng(11)
+    B = 6
+    raws = [_synthetic_general_raw(rng) for _ in range(B)]
+    y_bon = jnp.asarray(np.stack([r[0] for r in raws]), jnp.float32)
+    y_cor = jnp.asarray(np.stack([r[1] for r in raws]), jnp.float32)
+    outs = tuple(np.asarray(a)
+                 for a in postprocess_general_batch(y_bon, y_cor, H, W))
+
+    results = finish_general_batch(outs, W, H)
+    locs, fit, score, l1, mean, z1, cub = outs
+    n_fast = 0
+    for b in range(B):
+        cor_s, z0_s, z1_s = general_from_candidates(
+            locs[b], fit[b], score[b], l1[b], mean[b], z1[b], cub[b], W, H)
+        cor_f, z0_f, z1_f = results[b]
+        assert np.array_equal(cor_s, cor_f), b
+        assert z0_s == z0_f and z1_s == z1_f, b
+        n_fast += len(cor_f) == 12          # 6-wall rooms take the fast path
+    assert n_fast == B                      # all L-rooms vectorized
+
+
 def test_postprocess_general_batch_cuboid_fallback():
     """Too few corner peaks -> the same program's cuboid fit is used."""
     from horizonnet_tpu.postproc import (postprocess_general_batch,
