@@ -191,8 +191,10 @@ def main():
                 assert np.isfinite(z1) and len(cor_id) >= 8
                 results.append({"z0": z0, "z1": z1, "uv": cor_id})
     else:
+        from horizonnet_tpu.postproc import unpack_cuboid_outputs
+
         def finish(outs, results):
-            cid, z1 = (np.asarray(a) for a in outs)
+            cid, z1 = unpack_cuboid_outputs(outs)
             assert np.all(np.isfinite(z1)) and cid.shape[1:] == (8, 2)
             results.extend({"z0": 50.0, "z1": float(z1[b]), "uv": cid[b]}
                            for b in range(len(cid)))

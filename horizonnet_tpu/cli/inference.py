@@ -206,7 +206,8 @@ def _serve(paths, args, model, variables):
                                             depth=3)):
             nb = len(chunk)
             if args.force_cuboid:
-                cid, z1 = (np.asarray(a) for a in outs)
+                from ..postproc import unpack_cuboid_outputs
+                cid, z1 = unpack_cuboid_outputs(outs)
                 results = [(cid[b], 50.0, float(z1[b]), None)
                            for b in range(nb)]
             else:

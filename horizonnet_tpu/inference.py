@@ -7,8 +7,8 @@ Reference behavior: inference.py:21-141. TPU-first deltas:
 - many panos run per step (the reference loops one at a time);
 - in the serving engine's ``postproc="cuboid"`` mode the ENTIRE cuboid
   Manhattan fit (peaks, vote, corner back-projection) runs on device fused
-  with the forward (postproc/device.py), so only [B, 8, 2] corners cross
-  back to host.
+  with the forward (postproc/device.py), so only one packed [B, 17]
+  corners+z1 array crosses back to host (postproc.unpack_cuboid_outputs).
 
 This module's host ``postprocess`` is the reference-exact float64 path; the
 greedy general-layout fit always stays on host (tiny, sequential;
@@ -157,10 +157,14 @@ class InferenceEngine:
             bon, cor = base(variables, x)
             if postproc == "cuboid":
                 # Full Manhattan cuboid fit fused into the same XLA program:
-                # the host receives [B, 8, 2] corners + [B] z1 instead of
-                # [B, 3, W] raw outputs (postproc/device.py)
-                from .postproc.device import postprocess_cuboid_batch
-                return postprocess_cuboid_batch(bon, cor[:, 0], H, W)
+                # the host receives ONE packed [B, 17] array (corners + z1,
+                # postproc.unpack_cuboid_outputs) instead of [B, 3, W] raw
+                # outputs — one array because the remote transport charges
+                # fixed latency per fetch (pack_general_outputs docstring)
+                from .postproc.device import (pack_cuboid_outputs,
+                                              postprocess_cuboid_batch)
+                return pack_cuboid_outputs(
+                    postprocess_cuboid_batch(bon, cor[:, 0], H, W))
             elif postproc == "general":
                 # General (non-cuboid) serving: peaks + projection +
                 # per-segment votes fused on device; the host runs only
@@ -219,10 +223,10 @@ class InferenceEngine:
         packed [B, 6, H/2, W/2] planes for input_format="yuv420").
         Returns device arrays WITHOUT blocking — call np.asarray on the
         results to synchronize. The result depends on the postproc mode:
-        (bon [B,2,W], cor_prob [B,1,W]) by default, (cor_id [B,8,2]
-        normalized uv, z1 [B]) with postproc="cuboid", or the packed
-        candidate array for postproc.finish_general_batch with
-        postproc="general"."""
+        (bon [B,2,W], cor_prob [B,1,W]) by default, a packed [B, 17]
+        array for postproc.unpack_cuboid_outputs with postproc="cuboid",
+        or the packed candidate array for postproc.finish_general_batch
+        with postproc="general"."""
         return self.run(self.put(x))
 
     def update_variables(self, variables):

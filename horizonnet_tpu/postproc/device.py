@@ -336,6 +336,19 @@ def postprocess_cuboid_batch(y_bon, y_cor, H=512, W=1024, z0=50.0, r=0.05):
     return cor_id, z1
 
 
+def pack_cuboid_outputs(outs):
+    """Concatenate the cuboid fit (cor_id [B, 8, 2], z1 [B]) into ONE
+    [B, 17] f32 array — same motivation as pack_general_outputs: the
+    remote transport charges a fixed per-array latency on every
+    device->host fetch, so the serving host should pay exactly one.
+    Host twin: serving.unpack_cuboid_outputs."""
+    cor_id, z1 = outs
+    B = cor_id.shape[0]
+    return jnp.concatenate(
+        [cor_id.reshape(B, 16), z1.reshape(B, 1).astype(jnp.float32)],
+        axis=-1)
+
+
 def pack_general_outputs(outs):
     """Concatenate the general candidate summary into ONE [B, 9K+17] f32
     array (K = max_peaks).

@@ -91,6 +91,17 @@ def general_from_candidates(locs, fit, score, l1, mean, z1, cuboid_cor_id,
     return cor_id, z0, z1
 
 
+def unpack_cuboid_outputs(packed):
+    """Host twin of device.pack_cuboid_outputs: ONE [B, 17] f32 array ->
+    (cor_id [B, 8, 2], z1 [B]). Also accepts the raw (cor_id, z1) tuple
+    for callers holding unpacked device outputs."""
+    if isinstance(packed, (tuple, list)):
+        cor_id, z1 = packed
+        return np.asarray(cor_id), np.asarray(z1)
+    packed = np.asarray(packed, np.float32)
+    return packed[:, :16].reshape(-1, 8, 2), packed[:, 16]
+
+
 def unpack_general_outputs(packed):
     """Host twin of device.pack_general_outputs: ONE [B, 9K+17] f32 array
     -> (locs, fit, score, l1, mean, z1, cuboid_cor_id). K is inferred

@@ -13,6 +13,8 @@ environment; see PARITY.md).
 import os
 
 import numpy as np
+
+from horizonnet_tpu.postproc import unpack_cuboid_outputs
 import pytest
 
 FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -66,7 +68,7 @@ def test_golden_device_serving_matches_host(golden):
     model, variables, img, want = golden
     eng = InferenceEngine(model, variables, batch_size=1,
                           postproc="cuboid")
-    cid, z1 = (np.asarray(a) for a in eng(img))
+    cid, z1 = unpack_cuboid_outputs(eng(img))
     dpx = np.abs(cid[0] - want["cuboid_uv"]).max() * 512
     assert dpx < 2.0, f"device cuboid corners off host golden {dpx:.2f}px"
 
@@ -84,8 +86,8 @@ def test_golden_dct_ingest_corner_stability(golden):
                            postproc="cuboid")
     engd = InferenceEngine(model, variables, batch_size=1,
                            postproc="cuboid", input_format="dct")
-    cf, z1f = (np.asarray(a) for a in engf(img))
-    cd, z1d = (np.asarray(a) for a in engd(pack_dct(rgb)))
+    cf, z1f = unpack_cuboid_outputs(engf(img))
+    cd, z1d = unpack_cuboid_outputs(engd(pack_dct(rgb)))
     dpx = np.abs(cd - cf).max() * 512
     assert dpx < 2.0, f"dct ingest moved corners {dpx:.2f}px"
     # z1 carries the dct format's one systematic artifact: the DC
@@ -106,6 +108,6 @@ def test_golden_s2d_stem_serving_matches(golden):
     model, variables, img, want = golden
     s2d = build_model(model.backbone, model.use_rnn, s2d_stem=True)
     eng = InferenceEngine(s2d, variables, batch_size=1, postproc="cuboid")
-    cid, z1 = (np.asarray(a) for a in eng(img))
+    cid, z1 = unpack_cuboid_outputs(eng(img))
     dpx = np.abs(cid[0] - want["cuboid_uv"]).max() * 512
     assert dpx < 2.0, f"s2d serving corners off host golden {dpx:.2f}px"

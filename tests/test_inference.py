@@ -140,8 +140,8 @@ def test_engine_device_postproc_matches_host(small_model):
                            postproc="cuboid")
     bon, cor = eng(x)
     bon, cor = np.asarray(bon), np.asarray(cor)
-    cid_d, z1_d = engc(x)
-    cid_d, z1_d = np.asarray(cid_d), np.asarray(z1_d)
+    from horizonnet_tpu.postproc import unpack_cuboid_outputs
+    cid_d, z1_d = unpack_cuboid_outputs(engc(x))
     assert cid_d.shape == (2, 8, 2)
     for b in range(2):
         cid, z0, z1 = postprocess(bon[b], cor[b, 0], 64, 128,

@@ -28,6 +28,7 @@ def main():
     import jax
 
     from horizonnet_tpu.inference import InferenceEngine
+    from horizonnet_tpu.postproc import unpack_cuboid_outputs
     from horizonnet_tpu.ops.dct import (pack_dct, unpack_dct_to_rgb,
                                         dct_wire_shape)
     from horizonnet_tpu.train.checkpoint import load_trained_model
@@ -40,7 +41,7 @@ def main():
     demo = np.asarray(Image.open(DEMO))[None, ..., :3]
 
     engf = InferenceEngine(model, variables, batch_size=1, postproc="cuboid")
-    cf, z1f = (np.asarray(a) for a in engf(img))
+    cf, z1f = unpack_cuboid_outputs(engf(img))
 
     print(f"{'budget':>8} {'KiB':>6} {'psnr':>6} {'dcorner_px':>10} "
           f"{'dz1':>6}")
@@ -53,7 +54,7 @@ def main():
         engd = InferenceEngine(model, variables, batch_size=1,
                                postproc="cuboid", input_format="dct",
                                dct_luma_m=ym, dct_chroma_m=cm)
-        cd, z1d = (np.asarray(a) for a in engd(pack_dct(rgb, ym, cm)))
+        cd, z1d = unpack_cuboid_outputs(engd(pack_dct(rgb, ym, cm)))
         dpx = (np.abs(cd - cf) * np.array([1024.0, 512.0])).max()
         dz1 = abs(float(z1d[0]) - float(z1f[0]))
         print(f"({ym:2d},{cm:2d}) {kib:6.0f} {psnr:6.2f} {dpx:10.2f} "
@@ -72,7 +73,7 @@ def main():
     engd = InferenceEngine(model, variables, batch_size=1,
                            postproc="cuboid", input_format="dct4",
                            dct_luma_m=ym, dct_chroma_m=cm)
-    cd, z1d = (np.asarray(a) for a in engd(pack_dct4(rgb, ym, cm)))
+    cd, z1d = unpack_cuboid_outputs(engd(pack_dct4(rgb, ym, cm)))
     dpx = (np.abs(cd - cf) * np.array([1024.0, 512.0])).max()
     dz1 = abs(float(z1d[0]) - float(z1f[0]))
     print(f"dct4({ym},{cm}) {kib:4.0f} {psnr:6.2f} {dpx:10.2f} {dz1:6.2f}")

@@ -41,6 +41,7 @@ def main(B=32, n=48):
     from horizonnet_tpu.models.registry import init_model
     from horizonnet_tpu.models.quant import quantize_variables
     from horizonnet_tpu.inference import InferenceEngine
+    from horizonnet_tpu.postproc import unpack_cuboid_outputs
     from horizonnet_tpu.ops.dct import pack_dct
     import bench
 
@@ -72,7 +73,7 @@ def main(B=32, n=48):
               flush=True)
         x_dev = eng.put(batch)
         out0 = eng.run(x_dev)
-        corners = np.asarray(out0[0])
+        corners = unpack_cuboid_outputs(out0)[0]
         force(out0)
         reps = []
         for _ in range(3):
