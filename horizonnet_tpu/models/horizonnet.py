@@ -96,6 +96,8 @@ class HorizonNet(nn.Module):
     lstm_impl: str = "scan"   # "pallas" for the fused serving kernel
     s2d_stem: bool = False    # space-to-depth conv1 (resnet; same params)
     quant_int8: bool = False  # serving-only int8 encoder (models/quant.py)
+    fused_blocks: str = ""    # "pallas": one-kernel identity bottlenecks
+                              # (resnet serving only; ops/pallas_block.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -107,7 +109,7 @@ class HorizonNet(nn.Module):
         if self.backbone.startswith("res"):
             feats = ResNetEncoder(self.backbone, self.dtype, self.seam_pool,
                                   self.bn_momentum, self.s2d_stem,
-                                  self.quant_int8,
+                                  self.quant_int8, self.fused_blocks,
                                   name="encoder")(x, train)
             channels = resnet_feature_channels(self.backbone)
         elif self.backbone.startswith("dense"):

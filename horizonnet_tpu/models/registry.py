@@ -19,16 +19,20 @@ def build_model(backbone: str = "resnet50", use_rnn: bool = True,
                 bn_momentum: float = 0.1,
                 lstm_impl: str = "scan",
                 s2d_stem: bool = False,
-                quant_int8: bool = False) -> HorizonNet:
+                quant_int8: bool = False,
+                fused_blocks: str = "") -> HorizonNet:
     if backbone not in ENCODER_RESNET + ENCODER_DENSENET:
         raise ValueError(f"unknown backbone {backbone!r}")
     if quant_int8 and s2d_stem:
         raise ValueError("quant_int8 and s2d_stem are mutually exclusive "
                          "(the quant stem is the plain 7x7 path)")
+    if fused_blocks and backbone not in ENCODER_RESNET:
+        raise ValueError("fused_blocks covers the resnet bottleneck "
+                         "family (ops/pallas_block.py)")
     return HorizonNet(backbone=backbone, use_rnn=use_rnn, dtype=dtype,
                       seam_pool=seam_pool, bn_momentum=bn_momentum,
                       lstm_impl=lstm_impl, s2d_stem=s2d_stem,
-                      quant_int8=quant_int8)
+                      quant_int8=quant_int8, fused_blocks=fused_blocks)
 
 
 def init_model(model: HorizonNet, key, input_shape=(1, 512, 1024, 3)):

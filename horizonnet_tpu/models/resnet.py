@@ -16,7 +16,8 @@ import flax.linen as nn
 
 from ..ops.lstm import matmul_precision
 from ..ops.pad import wrap_pad_width
-from .layers import WrapConv, BatchNorm, QuantConvBN, max_pool_same_as_torch
+from .layers import (WrapConv, BatchNorm, QuantConvBN, _ConvParams,
+                     max_pool_same_as_torch)
 
 
 def _conv_bn(x, features, kernel_size, strides, padding, cname, bname,
@@ -114,6 +115,47 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
+class _FusedConvKernel(nn.Module):
+    """Mirror of WrapConv's parameter tree (``<name>/conv/kernel``) for
+    the fused-block path — same path, same initializer, so checkpoints
+    and init RNG folds are identical to the unfused module."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.shape, False, name="conv")()[0]
+
+
+class _FusedBNInner(nn.Module):
+    """Mirror of flax nn.BatchNorm's variables (scale/bias params +
+    batch_stats mean/var), declared raw so the fused path can fold them
+    into conv weights without running the layer."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.ch,))
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.ch,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.ch,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class _FusedBNVars(nn.Module):
+    """Named ``bnN``; nests the variables under ``bnN/bn/*`` like
+    layers.BatchNorm does."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        return _FusedBNInner(self.ch, name="bn")()
+
+
 class Bottleneck(nn.Module):
     planes: int            # base width; output is planes * 4
     stride: int = 1
@@ -123,10 +165,16 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.1
     quant: bool = False
+    fused: str = ""   # "pallas" / "pallas_interpret": one-kernel block
+                      # (serving only; identity blocks, groups=1)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        if (self.fused and not train and self.stride == 1
+                and not self.downsample and self.groups == 1
+                and not self.quant):
+            return self._fused_forward(x, width)
         identity = x
         out = _conv_bn(x, width, (1, 1), (1, 1), (0, 0), "conv1", "bn1",
                        self.dtype, self.bn_momentum, self.quant, train)
@@ -145,6 +193,30 @@ class Bottleneck(nn.Module):
                                 self.dtype, self.bn_momentum, self.quant,
                                 train)
         return nn.relu(out + identity)
+
+    def _fused_forward(self, x, width):
+        """Whole block as ONE Pallas kernel: every intermediate stays in
+        VMEM, HBM sees one input read + one output write (the round-5
+        roofline showed the unfused block is DMA-bound —
+        ops/pallas_block.py). Parameters are declared through tree-
+        mirroring holders, so the checkpoint layout is unchanged; the
+        three inference-mode BNs are folded into the conv weights."""
+        from ..ops.pallas_block import fold_conv_bn, fused_bottleneck
+        cout = self.planes * 4
+        cin = x.shape[-1]
+        assert cin == cout, (cin, cout)  # identity blocks only
+        k1 = _FusedConvKernel((1, 1, cin, width), name="conv1")()
+        bn1 = _FusedBNVars(width, name="bn1")()
+        k2 = _FusedConvKernel((3, 3, width, width), name="conv2")()
+        bn2 = _FusedBNVars(width, name="bn2")()
+        k3 = _FusedConvKernel((1, 1, width, cout), name="conv3")()
+        bn3 = _FusedBNVars(cout, name="bn3")()
+        w1, b1 = fold_conv_bn(k1, *bn1)
+        w2, b2 = fold_conv_bn(k2, *bn2)
+        w3, b3 = fold_conv_bn(k3, *bn3)
+        return fused_bottleneck(x.astype(self.dtype), w1, b1, w2, b2,
+                                w3, b3,
+                                interpret=self.fused == "pallas_interpret")
 
 
 _RESNET_SPECS = {
@@ -168,6 +240,8 @@ class ResNetEncoder(nn.Module):
     bn_momentum: float = 0.1
     s2d_stem: bool = False   # space-to-depth conv1 (same params, TPU win)
     quant: bool = False      # serving-only int8 convs (models/quant.py)
+    fused_blocks: str = ""   # "pallas": one-kernel identity bottlenecks
+                             # (serving only; ops/pallas_block.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -198,6 +272,7 @@ class ResNetEncoder(nn.Module):
                     need_ds = bi == 0 and (s != 1 or li == 0)
                     x = Bottleneck(planes, s, need_ds, groups, base_width,
                                    self.dtype, self.bn_momentum, self.quant,
+                                   self.fused_blocks,
                                    name=f"layer{li+1}_{bi}")(x, train)
                 else:
                     need_ds = bi == 0 and s != 1
