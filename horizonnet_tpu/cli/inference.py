@@ -198,23 +198,28 @@ def _serve(paths, args, model, variables):
 
     if engine is not None:
         from ..inference import serve_stream
-        # Lazy ingest generator + depth-3 stream: reads/packing/uploads
-        # of upcoming chunks and JSON writing of finished ones both
-        # overlap the device compute in flight.
-        for chunk, outs in zip(chunks,
-                               serve_stream(engine, packed_batches(),
-                                            depth=3)):
-            nb = len(chunk)
-            if args.force_cuboid:
-                from ..postproc import unpack_cuboid_outputs
+
+        if args.force_cuboid:
+            from ..postproc import unpack_cuboid_outputs
+
+            def finish(outs):
                 cid, z1 = unpack_cuboid_outputs(outs)
-                results = [(cid[b], 50.0, float(z1[b]), None)
-                           for b in range(nb)]
-            else:
+                return [(cid[b], 50.0, float(z1[b]), None)
+                        for b in range(len(cid))]
+        else:
+            def finish(outs):
                 with trace_annotation("serve/general_finish"):
-                    results = [(c, z0, z1, None) for c, z0, z1 in
-                               finish_general_batch(outs)[:nb]]
-            write_results(chunk, results)
+                    return [(c, z0, z1, None) for c, z0, z1 in
+                            finish_general_batch(outs)]
+
+        # Lazy ingest generator + depth-3 stream: reads/packing/uploads
+        # of upcoming chunks, the finish tail (worker thread), and JSON
+        # writing of finished ones all overlap the device compute in
+        # flight.
+        for chunk, results in zip(chunks,
+                                  serve_stream(engine, packed_batches(),
+                                               depth=3, finish=finish)):
+            write_results(chunk, results[:len(chunk)])
     else:
         for chunk in chunks:
             with trace_annotation("serve/ingest"):

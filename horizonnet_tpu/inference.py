@@ -236,7 +236,7 @@ class InferenceEngine:
         self.variables = _format_put(variables, v_fmt)
 
 
-def serve_stream(engine, batches, depth=3):
+def serve_stream(engine, batches, depth=3, finish=None, workers=1):
     """Pipelined serving loop: yield engine outputs in input order while
     keeping up to ``depth`` batches in flight.
 
@@ -247,16 +247,38 @@ def serve_stream(engine, batches, depth=3):
     device arrays exactly as ``engine(x)`` returns them — np.asarray
     synchronizes. This is the serving loop bench.py clocks; the
     inference CLI drives it for --device_postproc runs.
+
+    ``finish``: optional host tail ``finish(outs) -> result`` (e.g.
+    postproc.finish_general_batch). When given, each device output is
+    handed to a thread pool of ``workers`` threads and the finished
+    results are yielded, still in input order. The tail's device->host
+    fetch and numpy work then overlap the MAIN thread's upload IO —
+    on this box the host->device link is the serving bottleneck
+    (~30-45 MB/s after first program load, see
+    .claude/skills/verify/SKILL.md), so a tail run inline would add
+    1:1 to the per-batch wall time while the link sits idle. Ordering
+    is preserved (FIFO future queue); exceptions re-raise at yield.
     """
     from collections import deque
 
     q = deque()
-    for x in batches:
-        q.append(engine.run(engine.put(x)))
-        if len(q) > depth:
+    if finish is None:
+        for x in batches:
+            q.append(engine.run(engine.put(x)))
+            if len(q) > depth:
+                yield q.popleft()
+        while q:
             yield q.popleft()
-    while q:
-        yield q.popleft()
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        for x in batches:
+            q.append(pool.submit(finish, engine.run(engine.put(x))))
+            if len(q) > depth:
+                yield q.popleft().result()
+        while q:
+            yield q.popleft().result()
 
 
 # Engine cache for the convenience net_forward/inference path. Entries

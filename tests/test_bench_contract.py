@@ -91,6 +91,26 @@ def test_serve_stream_ordering_with_fake_engine():
         assert got == [("out", k) for k in range(7)]
     assert list(serve_stream(eng, iter([]), depth=3)) == []
 
+    # finish= variant (worker-thread host tail): same in-order,
+    # one-result-per-input contract, with finish applied.
+    def finish(outs):
+        return ("fin",) + outs
+
+    for depth in (1, 3, 10):
+        for workers in (1, 2):
+            got = list(serve_stream(eng, iter(range(7)), depth=depth,
+                                    finish=finish, workers=workers))
+            assert got == [("fin", "out", k) for k in range(7)]
+    assert list(serve_stream(eng, iter([]), depth=3, finish=finish)) == []
+
+    # Exceptions from the tail re-raise at yield, not silently dropped.
+    def boom(outs):
+        raise RuntimeError("tail failed")
+
+    import pytest
+    with pytest.raises(RuntimeError, match="tail failed"):
+        list(serve_stream(eng, iter(range(3)), depth=1, finish=boom))
+
 
 def test_ref_e2e_divisor_merge_is_conservative():
     """REF_E2E.json's divisor policy: the recorded e2e figure must be the

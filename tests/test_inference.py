@@ -53,6 +53,20 @@ def test_serve_stream_matches_direct_calls(small_model):
             np.testing.assert_array_equal(np.asarray(cor_s),
                                           np.asarray(cor_d))
 
+    # finish= (worker-thread tail, the serving-bench configuration):
+    # fetching the device outputs from the pool thread must yield the
+    # same values in the same order as the inline path.
+    def finish(outs):
+        bon, cor = outs
+        return np.asarray(bon).copy(), np.asarray(cor).copy()
+
+    got = list(serve_stream(eng, iter(batches), depth=2, finish=finish))
+    assert len(got) == len(batches)
+    for x, (bon_s, cor_s) in zip(batches, got):
+        bon_d, cor_d = eng(x)
+        np.testing.assert_array_equal(bon_s, np.asarray(bon_d))
+        np.testing.assert_array_equal(cor_s, np.asarray(cor_d))
+
 
 def test_engine_uint8_matches_float(small_model):
     model, variables = small_model
