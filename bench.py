@@ -347,9 +347,10 @@ def main():
         t0 = time.time()
         warm = preprocess_one(raws[1 % len(raws)])
         preprocess_s = time.time() - t0   # single-stream s/pano figure
-        res0 = []
-        finish(e2e_engine(_pack([np.broadcast_to(warm, (B_e2e, H, W, 3))],
-                                fmt, dct_ym, dct_cm, dct_q)[0]), res0)
+        res0 = finish(e2e_engine(
+            _pack([np.broadcast_to(warm, (B_e2e, H, W, 3))],
+                  fmt, dct_ym, dct_cm, dct_q)[0]))
+        assert len(res0) == B_e2e
 
         results = []
         t0 = time.time()
@@ -365,8 +366,9 @@ def main():
                                     dct_cm, dct_q)[0]
                         buf = []
 
-            for outs in serve_stream(e2e_engine, batch_feed(), depth=2):
-                finish(outs, results)
+            for batch_res in serve_stream(e2e_engine, batch_feed(),
+                                          depth=2, finish=finish):
+                results.extend(batch_res)
         dt = time.time() - t0
         assert len(results) == n_e2e
         e2e_pps = n_e2e / dt

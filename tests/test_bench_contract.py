@@ -72,6 +72,31 @@ def test_bench_helpers_match_engine_contract():
         assert field in src, field
 
 
+def test_bench_finish_callsites_single_arg():
+    """bench.py defines finish(outs) -> list and uses it in TWO sections
+    (the timed serving loop and the e2e block). Round 5 regression: the
+    serving section moved to the single-arg return-the-batch convention
+    while the e2e block still called finish(outs, results) — a TypeError
+    that only fired in the (default-on) e2e stage of an unattended driver
+    run. Pin the convention at every call site."""
+    import ast
+
+    tree = ast.parse(open(os.path.join(ROOT, "bench.py")).read())
+    calls = [n for n in ast.walk(tree)
+             if isinstance(n, ast.Call)
+             and isinstance(n.func, ast.Name) and n.func.id == "finish"]
+    assert calls, "bench.py no longer calls finish()?"
+    for c in calls:
+        assert len(c.args) == 1 and not c.keywords, (
+            f"bench.py:{c.lineno}: finish() must take exactly the device "
+            f"outputs and return the finished batch")
+    defs = [n for n in ast.walk(tree)
+            if isinstance(n, ast.FunctionDef) and n.name == "finish"]
+    for d in defs:
+        assert len(d.args.args) == 1, (
+            f"bench.py:{d.lineno}: finish must stay single-arg")
+
+
 def test_serve_stream_ordering_with_fake_engine():
     """bench's timed loop and the CLI both ride inference.serve_stream;
     its in-order, one-output-per-input contract must hold regardless of
